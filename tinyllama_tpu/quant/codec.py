@@ -1,0 +1,236 @@
+"""Block-wise Q8_0 / Q4_0 weight quantization codec.
+
+Capability parity with the reference's quantization formats
+(/root/reference/gten/quants.h:17-31 and the offline quantizer
+/root/reference/tinyllama_to_gten.py:24-91), re-designed for TPU:
+
+* Q8_0: per-block-of-32 fp16 scale ``delta = absmax/127``, int8 values
+  ``q = round(x/delta)``.
+* Q4_0: per-block-of-32 fp16 scale ``delta = absmax/7``, values
+  ``q = round(x/delta) + 7`` in [0, 14], two values per byte.
+
+Storage layout differs from the reference on purpose.  gten interleaves
+[fp16 delta | 32 int8] block structs in memory, which is hostile to TPU
+vector loads.  Here a quantized 2-D weight ``[d_out, d_in]`` is a pair of
+dense planes:
+
+* ``data``: int8 ``[d_out, d_in]`` (q8) or uint8 ``[d_out, d_in//2]`` (q4)
+* ``scales``: float32 ``[d_out, d_in//32]`` (exactly the fp16 delta values,
+  upcast — fp16→fp32 is exact, so dequantized values match gten bit-for-bit)
+
+Q4 nibble packing is *half-row*: byte ``j`` of a row holds element ``j``
+in its high nibble and element ``j + d_in//2`` in its low nibble, so
+unpacking is two full-width vector ops and one concatenate — no lane
+interleaving on the VPU.  (gten instead packs per half-*block* of 16,
+quants.h:78-90; ``gten_q4_pack``/``gten_q4_unpack`` below convert between
+the two layouts for checkpoint I/O.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK_SIZE = 32  # gten/quants.h:13 (globs::q8_block_size)
+Q8_MAX = 127.0  # tinyllama_to_gten.py:38
+Q4_MAX = 7.0  # tinyllama_to_gten.py:69
+Q4_OFFSET = 7  # tinyllama_to_gten.py:79
+
+
+@dataclass(frozen=True)
+class QTensor:
+    """A block-quantized tensor: packed integer data + per-block scales.
+
+    For a logical weight of shape [..., d_out, d_in]:
+      * kind="q8": data int8 [..., d_out, d_in]
+      * kind="q4": data uint8 [..., d_out, d_in//2] (half-row nibble packed)
+      * scales: float32 [..., d_out, d_in//32]
+    Leading axes (e.g. a stacked layer axis) are allowed and preserved.
+    """
+
+    data: jax.Array
+    scales: jax.Array
+    kind: str
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        d_in = self.scales.shape[-1] * BLOCK_SIZE
+        return (*self.data.shape[:-1], d_in)
+
+
+jax.tree_util.register_dataclass(
+    QTensor, data_fields=("data", "scales"), meta_fields=("kind",)
+)
+
+
+# -----------------------------------------------------------------------------
+# Quantize (jnp; used by the converter and tests)
+# -----------------------------------------------------------------------------
+
+
+def _block_scales(x: jnp.ndarray, qmax: float) -> jnp.ndarray:
+    """Per-block fp16 deltas, computed in f32 like tinyllama_to_gten.py:37-39."""
+    blocks = x.reshape(*x.shape[:-1], x.shape[-1] // BLOCK_SIZE, BLOCK_SIZE)
+    absmax = jnp.max(jnp.abs(blocks), axis=-1)
+    return (absmax / qmax).astype(jnp.float32)
+
+
+def _safe_inv(deltas: jnp.ndarray) -> jnp.ndarray:
+    """1/delta with 0 -> 0 (tinyllama_to_gten.py:42-44)."""
+    return jnp.where(deltas != 0, 1.0 / jnp.where(deltas != 0, deltas, 1.0), 0.0)
+
+
+def quantize_q8(w: jax.Array) -> QTensor:
+    """Quantize along the last axis into block-32 int8 + fp16-exact scales."""
+    assert w.shape[-1] % BLOCK_SIZE == 0, w.shape
+    w = w.astype(jnp.float32)
+    deltas = _block_scales(w, Q8_MAX)
+    # Store scale at fp16 precision (gten stores fp16 deltas) but keep f32
+    # runtime dtype so TPU dequant is native; fp16->f32 is exact.
+    deltas_f16 = deltas.astype(jnp.float16)
+    inv = _safe_inv(deltas)  # quantize with the f32 delta, like the reference
+    blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
+    q = jnp.round(blocks * inv[..., None]).astype(jnp.int8)
+    return QTensor(
+        data=q.reshape(w.shape), scales=deltas_f16.astype(jnp.float32), kind="q8"
+    )
+
+
+def quantize_q4(w: jax.Array) -> QTensor:
+    """Quantize along the last axis into block-32 4-bit (+7 offset), packed
+    half-row: byte j = (q[j] << 4) | q[j + d_in//2]."""
+    d_in = w.shape[-1]
+    assert d_in % (2 * BLOCK_SIZE) == 0, w.shape
+    w = w.astype(jnp.float32)
+    deltas = _block_scales(w, Q4_MAX)
+    deltas_f16 = deltas.astype(jnp.float16)
+    inv = _safe_inv(deltas)
+    blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
+    q = jnp.round(blocks * inv[..., None]) + Q4_OFFSET  # [0, 14]
+    q = jnp.clip(q, 0, 14).astype(jnp.uint8).reshape(w.shape)
+    hi = q[..., : d_in // 2]
+    lo = q[..., d_in // 2 :]
+    packed = (hi << 4) | (lo & 0x0F)
+    return QTensor(data=packed, scales=deltas_f16.astype(jnp.float32), kind="q4")
+
+
+def quantize(w: jax.Array, kind: str) -> QTensor:
+    if kind == "q8":
+        return quantize_q8(w)
+    if kind == "q4":
+        return quantize_q4(w)
+    raise ValueError(f"unknown quant kind: {kind}")
+
+
+# -----------------------------------------------------------------------------
+# Dequantize (jnp; the XLA fallback path — the hot path lives in ops/pallas)
+# -----------------------------------------------------------------------------
+
+
+def unpack_q4(data: jax.Array) -> jax.Array:
+    """uint8 [..., d_in//2] -> int8-valued [..., d_in] still carrying +7 offset."""
+    hi = (data >> 4).astype(jnp.int8)
+    lo = (data & 0x0F).astype(jnp.int8)
+    return jnp.concatenate([hi, lo], axis=-1)
+
+
+def expand_scales(scales: jax.Array) -> jax.Array:
+    """[..., n_blocks] -> [..., n_blocks*32] by repeating each scale 32x."""
+    return jnp.repeat(scales, BLOCK_SIZE, axis=-1)
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    if qt.kind == "q8":
+        vals = qt.data.astype(jnp.float32)
+    elif qt.kind == "q4":
+        vals = unpack_q4(qt.data).astype(jnp.float32) - Q4_OFFSET
+    else:
+        raise ValueError(qt.kind)
+    return (vals * expand_scales(qt.scales)).astype(dtype)
+
+
+# -----------------------------------------------------------------------------
+# NumPy reference implementations (oracles for tests + offline converter)
+# -----------------------------------------------------------------------------
+
+
+def np_quantize_q8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (int8 data [d_out, d_in], f16 deltas [d_out, nb]).
+
+    Bit-exact re-derivation of tinyllama_to_gten.py:24-51 (absmax/127 in f32,
+    round-half-even, store f16 delta)."""
+    d_in = w.shape[-1]
+    assert d_in % BLOCK_SIZE == 0
+    blocks = w.astype(np.float32).reshape(*w.shape[:-1], -1, BLOCK_SIZE)
+    deltas = np.abs(blocks).max(axis=-1) / np.float32(Q8_MAX)
+    inv = np.where(deltas != 0, 1.0 / np.where(deltas != 0, deltas, 1), 0).astype(
+        np.float32
+    )
+    q = np.round(blocks * inv[..., None]).astype(np.int8)
+    return q.reshape(w.shape), deltas.astype(np.float16)
+
+
+def np_quantize_q4(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (uint8 offset-7 values [d_out, d_in] UNPACKED, f16 deltas)."""
+    d_in = w.shape[-1]
+    assert d_in % BLOCK_SIZE == 0
+    blocks = w.astype(np.float32).reshape(*w.shape[:-1], -1, BLOCK_SIZE)
+    deltas = np.abs(blocks).max(axis=-1) / np.float32(Q4_MAX)
+    inv = np.where(deltas != 0, 1.0 / np.where(deltas != 0, deltas, 1), 0).astype(
+        np.float32
+    )
+    q = (np.round(blocks * inv[..., None]) + Q4_OFFSET).astype(np.uint8)
+    assert q.max(initial=0) <= 14
+    return q.reshape(w.shape), deltas.astype(np.float16)
+
+
+def np_dequantize_q8(data: np.ndarray, deltas: np.ndarray) -> np.ndarray:
+    d = np.repeat(deltas.astype(np.float32), BLOCK_SIZE, axis=-1)
+    return data.astype(np.float32) * d
+
+
+def np_dequantize_q4_unpacked(vals: np.ndarray, deltas: np.ndarray) -> np.ndarray:
+    d = np.repeat(deltas.astype(np.float32), BLOCK_SIZE, axis=-1)
+    return (vals.astype(np.float32) - Q4_OFFSET) * d
+
+
+# -----------------------------------------------------------------------------
+# gten <-> TPU layout converters (numpy; checkpoint I/O only)
+# -----------------------------------------------------------------------------
+
+
+def gten_q4_pack(vals: np.ndarray) -> np.ndarray:
+    """Pack unpacked offset-7 values [.., d_in] into gten's per-half-block
+    layout: within each 32-block, byte j = (q[j] << 4) | q[j+16]
+    (tinyllama_to_gten.py:83-89)."""
+    blocks = vals.reshape(*vals.shape[:-1], -1, BLOCK_SIZE)
+    t0 = blocks[..., : BLOCK_SIZE // 2]
+    t1 = blocks[..., BLOCK_SIZE // 2 :]
+    packed = (t0 << 4) | (t1 & 0x0F)
+    return packed.reshape(*vals.shape[:-1], vals.shape[-1] // 2).astype(np.uint8)
+
+
+def gten_q4_unpack(packed: np.ndarray) -> np.ndarray:
+    """Inverse of gten_q4_pack -> unpacked offset-7 values [.., d_in]."""
+    half = packed.reshape(*packed.shape[:-1], -1, BLOCK_SIZE // 2)
+    t0 = (half >> 4).astype(np.uint8)
+    t1 = (half & 0x0F).astype(np.uint8)
+    blocks = np.concatenate([t0, t1], axis=-1)  # [.., nb, 32]
+    return blocks.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def tpu_q4_pack(vals: np.ndarray) -> np.ndarray:
+    """Pack unpacked offset-7 values into the TPU half-row layout."""
+    d_in = vals.shape[-1]
+    hi = vals[..., : d_in // 2]
+    lo = vals[..., d_in // 2 :]
+    return ((hi << 4) | (lo & 0x0F)).astype(np.uint8)
+
+
+def tpu_q4_unpack(packed: np.ndarray) -> np.ndarray:
+    hi = (packed >> 4).astype(np.uint8)
+    lo = (packed & 0x0F).astype(np.uint8)
+    return np.concatenate([hi, lo], axis=-1)
