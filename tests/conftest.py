@@ -7,7 +7,6 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: the TPU plugin on this host pre-sets jax_platforms to "axon,cpu",
+# overriding the JAX_PLATFORMS env var — force CPU via the config API.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -167,3 +167,8 @@ class GenerationConfig:
     greedy: bool = False
     eos_token: int = 32002  # tokenizer.h:26
     seed: int = 0
+    #: tokens generated per device call. The decode loop runs on device
+    #: (lax.scan over steps, sampling fused in); the host sees one array of
+    #: `chunk_size` tokens per round-trip — essential when the chip sits
+    #: behind a high-latency link, and good practice everywhere.
+    chunk_size: int = 32

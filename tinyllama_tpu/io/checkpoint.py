@@ -1,0 +1,134 @@
+"""Checkpoint loading: .gten files -> runtime parameter pytrees.
+
+Replaces the reference's fixed-order fread loader (/root/reference/
+tinyllama.cpp:301-392) with a parse + device_put pipeline that can place
+every weight against a sharding spec (parallel/sharding.py) while staying
+zero-copy on the host side.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyllama_tpu.config import DtypePolicy, ModelConfig, POLICIES
+from tinyllama_tpu.io import gten
+from tinyllama_tpu.models.llama import Params
+from tinyllama_tpu.quant.codec import QTensor
+
+_LAYER_PARAMS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+                 "attn_norm", "ffn_norm")
+
+_FILE_TO_POLICY = {"fp16": "f16", "q8": "q8", "q4": "q4"}
+
+
+def _to_jnp(decoded, kind: str, wdtype, device_put=lambda name, a: jnp.asarray(a)):
+    if isinstance(decoded, tuple):  # quantized (data, scales)
+        data, scales = decoded
+        return QTensor(
+            data=device_put("data", data), scales=device_put("scales", scales),
+            kind=kind,
+        )
+    return device_put("w", decoded)
+
+
+def load_gten_checkpoint(
+    path: str | Path,
+    cfg: ModelConfig,
+    policy: DtypePolicy | None = None,
+) -> tuple[Params, DtypePolicy]:
+    """Load a .gten file into the runtime params pytree (layers stacked on a
+    leading axis for lax.scan). Returns (params, effective policy).
+
+    Norm weights (always fp16 in the file, tinyllama.cpp:380-388) become
+    f32 — exact. Dense fp16 weights are stored in the policy's wdtype.
+    """
+    file_dtype, flat = gten.read_gten(path, cfg)
+    if policy is None:
+        policy = POLICIES[_FILE_TO_POLICY[file_dtype]]
+    kind = policy.wdtype if policy.is_quantized else None
+    if (file_dtype == "q8") != (policy.wdtype == "q8") or (
+        (file_dtype == "q4") != (policy.wdtype == "q4")
+    ):
+        if file_dtype != "fp16" or policy.is_quantized:
+            raise ValueError(
+                f"file dtype {file_dtype} incompatible with policy {policy.wdtype}"
+            )
+
+    wdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}.get(
+        policy.wdtype
+    )
+
+    def dense(a: np.ndarray, norm: bool = False):
+        return jnp.asarray(a.astype(np.float32) if norm else a, dtype=jnp.float32
+                           if norm else wdt)
+
+    def weight(decoded):
+        if isinstance(decoded, tuple):
+            data, scales = decoded
+            return QTensor(jnp.asarray(data), jnp.asarray(scales), kind=file_dtype
+                           if file_dtype in ("q8", "q4") else "q8")
+        return dense(decoded)
+
+    layers = {}
+    for name in _LAYER_PARAMS:
+        per_layer = [flat[f"{name}.{i}"] for i in range(cfg.n_layers)]
+        if name.endswith("norm"):
+            layers[name] = jnp.asarray(
+                np.stack([p.astype(np.float32) for p in per_layer])
+            )
+        elif isinstance(per_layer[0], tuple):
+            layers[name] = QTensor(
+                data=jnp.asarray(np.stack([p[0] for p in per_layer])),
+                scales=jnp.asarray(np.stack([p[1] for p in per_layer])),
+                kind=file_dtype,
+            )
+        else:
+            layers[name] = jnp.asarray(np.stack(per_layer), dtype=wdt)
+
+    params: Params = {
+        "embed": weight(flat["embed"]),
+        "layers": layers,
+        "norm": jnp.asarray(flat["norm"].astype(np.float32)),
+        "lm_head": weight(flat["lm_head"]),
+    }
+    return params, policy
+
+
+def save_gten_checkpoint(
+    path: str | Path,
+    cfg: ModelConfig,
+    dense_params: Params,
+    dtype: str,
+) -> None:
+    """Write runtime dense params (f32/bf16 arrays, layers stacked) to .gten.
+
+    The converter counterpart (tinyllama_to_gten.py parity) for round-trip
+    tests and for producing quantized checkpoints from dense ones.
+    """
+    name_map = {
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "w_gate": "mlp.gate_proj.weight",
+        "w_up": "mlp.up_proj.weight",
+        "w_down": "mlp.down_proj.weight",
+        "attn_norm": "input_layernorm.weight",
+        "ffn_norm": "post_attention_layernorm.weight",
+    }
+    hf: dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(
+            dense_params["embed"], dtype=np.float32
+        ),
+        "model.norm.weight": np.asarray(dense_params["norm"], dtype=np.float32),
+        "lm_head.weight": np.asarray(dense_params["lm_head"], dtype=np.float32),
+    }
+    for rname, suffix in name_map.items():
+        stacked = np.asarray(dense_params["layers"][rname], dtype=np.float32)
+        for i in range(cfg.n_layers):
+            hf[f"model.layers.{i}.{suffix}"] = stacked[i]
+    gten.write_gten(path, cfg, hf, dtype)

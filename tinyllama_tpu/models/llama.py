@@ -1,0 +1,210 @@
+"""Llama-family forward pass, functional and jit-first.
+
+Capability parity with the reference model stack (/root/reference/
+tinyllama.cpp:23-76 and gten/modules.cpp: Embedding -> 22x[AttentionBlock:
+pre-norm GQA attention + SwiGLU FFN with residuals] -> RMSNorm -> lm_head),
+re-designed for TPU:
+
+* parameters are a pytree with all per-layer weights *stacked* on a leading
+  layer axis; the forward runs one compiled block under lax.scan (one block
+  traced once, not 22 unrolled copies),
+* there is no start_pos incremental-row idiom — prefill and decode are the
+  same fixed-shape function at different sequence lengths T, writing into an
+  explicit KV cache (runtime/kvcache.py),
+* the lm_head is applied outside `forward` to the last valid hidden row
+  only (the reference's stride-0 "last token only" trick,
+  gten/modules.cpp:65-81, becomes an explicit gather + single matmul).
+
+Weight layout is [d_out, d_in] per linear (HF convention, matching the
+reference checkpoint layout, tinyllama.cpp:345-391).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tinyllama_tpu.config import DtypePolicy, ModelConfig
+from tinyllama_tpu.ops.attention import gqa_attention
+from tinyllama_tpu.ops.linear import (
+    Weight,
+    embedding_lookup,
+    linear,
+    linear_f32_out,
+)
+from tinyllama_tpu.ops.norms import rms_norm
+from tinyllama_tpu.ops.rope import apply_rope, rope_table
+from tinyllama_tpu.quant.codec import quantize
+from tinyllama_tpu.runtime.kvcache import KVCache, update_layer_cache
+
+Params = dict[str, Any]
+
+_ACT_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
+_W_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
+
+#: per-layer linear weights and their [d_out, d_in] shapes (as fn of cfg)
+_LAYER_LINEARS = {
+    "wq": lambda c: (c.n_embd, c.n_embd),
+    "wk": lambda c: (c.kv_dim, c.n_embd),
+    "wv": lambda c: (c.kv_dim, c.n_embd),
+    "wo": lambda c: (c.n_embd, c.n_embd),
+    "w_gate": lambda c: (c.n_ffn, c.n_embd),
+    "w_up": lambda c: (c.n_ffn, c.n_embd),
+    "w_down": lambda c: (c.n_embd, c.n_ffn),
+}
+
+
+def act_dtype(policy: DtypePolicy):
+    return _ACT_DTYPES[policy.adtype]
+
+
+# ----------------------------------------------------------------------------
+# Parameter construction
+# ----------------------------------------------------------------------------
+
+
+def init_dense_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random dense parameters (for tests/benchmarks; real weights come from
+    io/gten.py or io/convert.py)."""
+    n_tensors = 3 + len(_LAYER_LINEARS)
+    keys = iter(jax.random.split(key, n_tensors))
+
+    def rand(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(
+            dtype
+        )
+
+    layers = {
+        name: rand((cfg.n_layers, *shape_fn(cfg)))
+        for name, shape_fn in _LAYER_LINEARS.items()
+    }
+    layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.n_embd), jnp.float32)
+    layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.n_embd), jnp.float32)
+    return {
+        "embed": rand((cfg.n_vocab, cfg.n_embd)),
+        "layers": layers,
+        "norm": jnp.ones((cfg.n_embd,), jnp.float32),
+        "lm_head": rand((cfg.n_vocab, cfg.n_embd)),
+    }
+
+
+def convert_params(dense: Params, policy: DtypePolicy) -> Params:
+    """Cast or block-quantize dense f32 params per the dtype policy.
+
+    Norm weights stay f32 (the reference keeps norms fp16 even in q8/q4
+    files, tinyllama_to_gten.py:192-195; f32 holds those values exactly).
+    """
+
+    def conv(path_name: str, w):
+        if path_name.endswith("norm"):
+            return w.astype(jnp.float32)
+        if policy.is_quantized:
+            return quantize(w, policy.wdtype)
+        return w.astype(_W_DTYPES[policy.wdtype])
+
+    out: Params = {
+        "embed": conv("embed", dense["embed"]),
+        "norm": dense["norm"].astype(jnp.float32),
+        "lm_head": conv("lm_head", dense["lm_head"]),
+        "layers": {},
+    }
+    for name, w in dense["layers"].items():
+        out["layers"][name] = conv(name, w)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Forward
+# ----------------------------------------------------------------------------
+
+
+def _block(
+    cfg: ModelConfig,
+    x: jnp.ndarray,  # [B, T, D] activation dtype
+    lp: dict[str, Weight],
+    ck,
+    cv,
+    ck_s,
+    cv_s,
+    pos: jnp.ndarray,  # [B] write offsets
+    q_positions: jnp.ndarray,  # [B, T]
+    cos,
+    sin,
+    use_pallas: bool,
+):
+    """One pre-norm transformer block (gten/modules.cpp:224-254)."""
+    B, T, D = x.shape
+    H, Kh, d = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
+
+    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
+    q = linear(h, lp["wq"], use_pallas).reshape(B, T, H, d)
+    k = linear(h, lp["wk"], use_pallas).reshape(B, T, Kh, d)
+    v = linear(h, lp["wv"], use_pallas).reshape(B, T, Kh, d)
+
+    q = apply_rope(q, q_positions, cos, sin)
+    k = apply_rope(k, q_positions, cos, sin)
+
+    ck, cv, ck_s, cv_s, k_eff, v_eff = update_layer_cache(
+        ck, cv, k, v, pos, ck_s, cv_s
+    )
+    attn = gqa_attention(q, k_eff, v_eff, q_positions).reshape(B, T, H * d)
+    x = x + linear(attn, lp["wo"], use_pallas)
+
+    h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
+    gate = linear(h, lp["w_gate"], use_pallas)
+    up = linear(h, lp["w_up"], use_pallas)
+    # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
+    ffn = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+                 lp["w_down"], use_pallas)
+    return x + ffn, ck, cv, ck_s, cv_s
+
+
+def forward(
+    cfg: ModelConfig,
+    policy: DtypePolicy,
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32
+    cache: KVCache,
+    pos: jnp.ndarray,  # [B] int32: absolute position of tokens[:, 0]
+    rope_tables: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    use_pallas: bool = False,
+) -> tuple[jnp.ndarray, KVCache]:
+    """Run the model over T new tokens per sequence.
+
+    Returns (hidden [B, T, D] post-final-norm, updated cache). Works for
+    prefill (T = padded prompt length, pos = 0) and decode (T = 1) alike.
+    """
+    B, T = tokens.shape
+    adt = act_dtype(policy)
+    cos, sin = rope_tables if rope_tables is not None else rope_table(
+        cache.max_ctx, cfg.d_head, cfg.rope_theta
+    )
+    q_positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+
+    x = embedding_lookup(tokens, params["embed"], adt)
+
+    def body(carry, scanned):
+        x = carry
+        lp, ck, cv, ck_s, cv_s = scanned
+        x, ck, cv, ck_s, cv_s = _block(
+            cfg, x, lp, ck, cv, ck_s, cv_s, pos, q_positions, cos, sin, use_pallas
+        )
+        return x, (ck, cv, ck_s, cv_s)
+
+    x, (ks, vs, ks_s, vs_s) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+    )
+
+    x = rms_norm(x, params["norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
+    return x, KVCache(k=ks, v=vs, k_scale=ks_s, v_scale=vs_s)
+
+
+def lm_head_logits(
+    params: Params, hidden: jnp.ndarray, use_pallas: bool = False
+) -> jnp.ndarray:
+    """Project hidden rows [B, D] to f32 logits [B, n_vocab]
+    (gten/modules.cpp:65-81: lm_head activations are always f32). The
+    matmul runs in the activation dtype with f32 accumulation."""
+    return linear_f32_out(hidden, params["lm_head"], use_pallas)

@@ -1,0 +1,83 @@
+"""Grouped-query causal attention over a fixed-shape KV cache.
+
+Capability parity with gten's attention stack (/root/reference/gten/ops.h:
+930-1133: qk_masked_softmax + transpose_v + qkv_matmul over persistent
+activation buffers), re-designed for TPU:
+
+* no ctx x ctx score buffer is ever persisted — scores live only inside the
+  fused computation (XLA fusion here; Pallas flash kernels in ops/pallas/),
+* the KV cache is an explicit fixed-shape array (runtime/kvcache.py), not
+  an implicit start_pos idiom, so the whole step stays jit-compatible,
+* GQA head-group mapping (head h uses kv group h // q_heads_per_group,
+  ops.h:960) is expressed as a [B,T,Kh,G,d] reshape — no head replication.
+
+Math parity: scores scaled by 1/sqrt(d_head) (ops.h:1107), causal mask
+(key_pos <= query_pos), numerically-stable softmax in f32 (ops.h:971-994).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def gqa_attention(
+    q: jnp.ndarray,  # [B, T, H, d]
+    k: jnp.ndarray,  # [B, S, Kh, d]
+    v: jnp.ndarray,  # [B, S, Kh, d]
+    q_positions: jnp.ndarray,  # [B, T] int32, absolute positions of queries
+) -> jnp.ndarray:
+    """Causal GQA attention of new queries against the full cache.
+
+    Cache slots at key position s are visible to the query at absolute
+    position p iff s <= p; slots beyond the current fill are thereby masked
+    (they are written later, see runtime/kvcache.py). Returns [B, T, H, d]
+    in q.dtype.
+    """
+    B, T, H, d = q.shape
+    S, Kh = k.shape[1], k.shape[2]
+    G = H // Kh
+
+    # keep HIGHEST precision when activations are f32 (prefill≡decode
+    # bit-consistency); bf16 operands already accumulate exactly in f32.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if jnp.float32 in (q.dtype, k.dtype)
+        else jax.lax.Precision.DEFAULT
+    )
+    qf = q.reshape(B, T, Kh, G, d).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    # [B, Kh, T, G, S]
+    scores = (
+        jnp.einsum(
+            "btkgd,bskd->bktgs",
+            qf,
+            kf,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        * scale
+    )
+
+    key_pos = jnp.arange(S, dtype=jnp.int32)
+    visible = key_pos[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(visible[:, None, :, None, :], scores, NEG_INF)
+
+    # stable softmax in f32 (ops.h:971-994)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    out = jnp.einsum(
+        "bktgs,bskd->btkgd",
+        p,
+        vf,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    return out.reshape(B, T, H, d).astype(q.dtype)

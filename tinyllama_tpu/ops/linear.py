@@ -1,0 +1,98 @@
+"""Linear layers over dense or block-quantized weights.
+
+Capability parity with gten's matmul_2d + the SIMD dequant-dot kernels
+(/root/reference/gten/ops.h:613-670, 224-479), re-designed for TPU: the
+weight stays packed in HBM (int8 / packed-int4 planes + per-block scales)
+and is dequantized on the fly feeding the MXU. Two execution paths:
+
+* ``use_pallas=False`` (default off-TPU): pure-jnp dequant + matmul. XLA
+  fuses the int->float convert and scale multiply into the matmul operand;
+  correct everywhere (CPU tests), not bandwidth-optimal.
+* ``use_pallas=True``: fused Pallas kernel (ops/pallas/qmatmul.py) that
+  streams packed weights HBM->VMEM and dequantizes in the kernel epilogue.
+
+Weights are stored [d_out, d_in] (reference/HF layout, ops.h:651 comment:
+"weights stored (d_out, d_in) so every dot is contiguous") so the same
+QTensor serves both paths.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from tinyllama_tpu.quant.codec import QTensor, dequantize
+
+Weight = Union[jnp.ndarray, QTensor]
+
+
+def matmul_precision(dtype) -> jax.lax.Precision:
+    """f32 operands must use HIGHEST on TPU: the DEFAULT precision lowers
+    f32 matmuls to bf16 MXU passes, whose rounding depends on the operand
+    shapes — which would break the prefill≡decode invariant at f32. For
+    sub-f32 operands DEFAULT is already exact-input/f32-accumulate."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def linear(x: jnp.ndarray, w: Weight, use_pallas: bool = False) -> jnp.ndarray:
+    """x [..., d_in] @ w[d_out, d_in]^T -> [..., d_out] in x.dtype."""
+    if isinstance(w, QTensor):
+        if use_pallas:
+            from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
+
+            return qmatmul(x, w)
+        wd = dequantize(w, dtype=x.dtype)
+    else:
+        wd = w.astype(x.dtype)
+    return jnp.einsum(
+        "...k,nk->...n",
+        x,
+        wd,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    ).astype(x.dtype)
+
+
+def linear_f32_out(x: jnp.ndarray, w: Weight, use_pallas: bool = False) -> jnp.ndarray:
+    """Like `linear` but keeps the f32 accumulator as the result dtype.
+
+    Used for the lm_head (logits are always f32 in the reference,
+    gten/modules.cpp:65-81) without paying an f32-operand matmul: sub-f32
+    activations stay in their dtype on the MXU and accumulate in f32.
+    """
+    if isinstance(w, QTensor):
+        if use_pallas:
+            from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
+
+            return qmatmul(x, w, out_dtype=jnp.float32)
+        wd = dequantize(w, dtype=x.dtype)
+    else:
+        wd = w.astype(x.dtype)
+    return jnp.einsum(
+        "...k,nk->...n",
+        x,
+        wd,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    )
+
+
+def embedding_lookup(tokens: jnp.ndarray, table: Weight, dtype) -> jnp.ndarray:
+    """Token embedding: indexed row gather from a dense or quantized table.
+
+    Parity with ops::token_embed (ops.h:514-564); for quantized tables the
+    reference dequantizes looked-up rows — here we gather the packed rows
+    and scales first, then dequantize only the gathered rows.
+    """
+    if isinstance(table, QTensor):
+        rows = QTensor(
+            data=table.data[tokens], scales=table.scales[tokens], kind=table.kind
+        )
+        return dequantize(rows, dtype=dtype)
+    return table[tokens].astype(dtype)

@@ -1,0 +1,276 @@
+"""Inference engine: compiled prefill/decode pair + generation loops.
+
+Replaces the reference's sampler loops (/root/reference/tinyllama.cpp:
+395-512), which re-feed the whole token vector each step with a start_pos
+cursor, with the TPU-idiomatic two-function design (SURVEY.md §7):
+
+* ``prefill``: one jitted call over the (bucket-padded) prompt, writing the
+  prompt's K/V into the cache and returning last-token logits,
+* ``decode_step``: a jitted single-token step with donated cache buffers —
+  the cache is updated in place in HBM, nothing reshuffles host<->device,
+* ``generate``: a *device-resident* decode loop — lax.scan over
+  chunk_size decode steps with sampling fused in, so the host pays one
+  round-trip per chunk of tokens instead of 2-3 per token (host<->device
+  latency, not FLOPs, dominates single-token dispatch).
+
+Prompt lengths are padded up to a small set of bucket sizes so at most
+log2(max_ctx) prefill variants ever compile.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinyllama_tpu.config import DtypePolicy, GenerationConfig, ModelConfig
+from tinyllama_tpu.models import llama
+from tinyllama_tpu.ops import sampling
+from tinyllama_tpu.ops.rope import rope_table
+from tinyllama_tpu.runtime.kvcache import KVCache, init_cache
+
+
+@dataclass
+class GenStats:
+    """Timing/throughput report data (the print_perf analog,
+    tinyllama.cpp:515-582)."""
+
+    prompt_tokens: int = 0
+    generated_tokens: int = 0
+    prefill_s: float = 0.0
+    decode_s: float = 0.0
+    sample_s: float = 0.0
+    load_s: float = 0.0
+    compile_s: float = 0.0
+    decode_token_times: list = field(default_factory=list)
+
+    @property
+    def decode_tokens_per_s(self) -> float:
+        return self.generated_tokens / self.decode_s if self.decode_s else 0.0
+
+    @property
+    def ms_per_token(self) -> float:
+        return (
+            1000.0 * self.decode_s / self.generated_tokens
+            if self.generated_tokens
+            else 0.0
+        )
+
+
+def _bucket(n: int, max_ctx: int, minimum: int = 16) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return min(b, max_ctx)
+
+
+class Engine:
+    """Single-program inference engine over one model + dtype policy.
+
+    `shardings` (parallel/sharding.py) may place params/cache on a mesh;
+    the engine itself is mesh-agnostic — jit partitions the same program.
+    """
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        policy: DtypePolicy,
+        params: llama.Params,
+        max_batch: int = 1,
+        max_ctx: int | None = None,
+        use_pallas: bool | None = None,
+        param_sharding=None,
+        cache_sharding=None,
+    ):
+        self.cfg = cfg
+        self.policy = policy
+        self.params = params
+        self.max_batch = max_batch
+        self.max_ctx = max_ctx or cfg.max_ctx
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" and policy.is_quantized
+        self.use_pallas = use_pallas
+        self.rope_tables = rope_table(self.max_ctx, cfg.d_head, cfg.rope_theta)
+        self.cache_sharding = cache_sharding
+        if param_sharding is not None:
+            self.params = jax.device_put(self.params, param_sharding)
+        self._steps: dict[int, Callable] = {}
+        self._chunks: dict[tuple, Callable] = {}
+
+    # ------------------------------------------------------------------ state
+
+    def new_cache(self, batch: int | None = None) -> KVCache:
+        cache = init_cache(
+            self.cfg, batch or self.max_batch, self.policy.kv_dtype, self.max_ctx
+        )
+        if self.cache_sharding is not None:
+            cache = jax.device_put(cache, self.cache_sharding)
+        return cache
+
+    # ------------------------------------------------------------------ steps
+
+    def _step_fn(self, T: int) -> Callable:
+        """Compiled (params, cache, tokens[B,T], pos[B], last[B]) ->
+        (logits[B,V] f32, cache). Cache buffers are donated."""
+        if T in self._steps:
+            return self._steps[T]
+
+        cfg, policy, use_pallas = self.cfg, self.policy, self.use_pallas
+        rope_tables = self.rope_tables
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, tokens, pos, last):
+            hidden, cache = llama.forward(
+                cfg, policy, params, tokens, cache, pos, rope_tables, use_pallas
+            )
+            # gather the last valid hidden row per sequence: [B, D]
+            h_last = jnp.take_along_axis(
+                hidden, last[:, None, None].astype(jnp.int32), axis=1
+            )[:, 0]
+            logits = llama.lm_head_logits(params, h_last, use_pallas)
+            return logits, cache
+
+        self._steps[T] = step
+        return step
+
+    def prefill(self, cache: KVCache, prompts: list[list[int]]):
+        """Prefill a batch of prompts (bucket-padded). Returns
+        (logits [B, V], cache, lens [B])."""
+        B = len(prompts)
+        assert B == cache.batch, (B, cache.batch)
+        lens = np.array([len(p) for p in prompts], np.int32)
+        if int(lens.max()) > self.max_ctx:
+            # parity with the reference's context guard (tinyllama.cpp:46-49),
+            # minus the process exit
+            raise ValueError(
+                f"Number of prompt tokens ({int(lens.max())}) exceeds maximum "
+                f"ctx size ({self.max_ctx})"
+            )
+        T = _bucket(int(lens.max()), self.max_ctx)
+        toks = np.zeros((B, T), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, : len(p)] = p
+        step = self._step_fn(T)
+        logits, cache = step(
+            self.params,
+            cache,
+            jnp.asarray(toks),
+            jnp.zeros((B,), jnp.int32),
+            jnp.asarray(lens - 1),
+        )
+        return logits, cache, lens
+
+    def decode_step(self, cache: KVCache, tokens: jnp.ndarray, pos: jnp.ndarray):
+        """One token per sequence. tokens [B], pos [B] -> (logits [B,V], cache)."""
+        step = self._step_fn(1)
+        return step(
+            self.params, cache, tokens[:, None], pos, jnp.zeros_like(pos)
+        )
+
+    # ------------------------------------------------------ device decode loop
+
+    def _chunk_fn(self, C: int, greedy: bool, top_k: int) -> Callable:
+        """Compiled chunk: sample + decode C tokens entirely on device.
+
+        (params, cache, logits[B,V], pos[B], key, eos, temp) ->
+        (tokens [B,C], done [B], logits, cache, pos, key).
+        The token emitted at step i is sampled from the logits entering
+        step i; once a row hits EOS it keeps emitting EOS (host truncates).
+        """
+        sig = (C, greedy, top_k)
+        if sig in self._chunks:
+            return self._chunks[sig]
+
+        cfg, policy, use_pallas = self.cfg, self.policy, self.use_pallas
+        rope_tables = self.rope_tables
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def chunk(params, cache, logits, pos, key, eos, temperature):
+            def body(carry, _):
+                cache, logits, pos, done, key = carry
+                if greedy:
+                    tok = sampling.greedy_device(logits)
+                else:
+                    key, sub = jax.random.split(key)
+                    tok = sampling.sample_top_k_device(
+                        logits, sub, temperature, top_k
+                    )
+                tok = jnp.where(done, eos, tok)
+                done = done | (tok == eos)
+                hidden, cache = llama.forward(
+                    cfg, policy, params, tok[:, None], cache, pos,
+                    rope_tables, use_pallas,
+                )
+                logits = llama.lm_head_logits(params, hidden[:, 0], use_pallas)
+                return (cache, logits, pos + 1, done, key), tok
+
+            B = logits.shape[0]
+            init = (cache, logits, pos, jnp.zeros((B,), bool), key)
+            (cache, logits, pos, done, key), toks = jax.lax.scan(
+                body, init, length=C
+            )
+            return toks.T, done, logits, cache, pos, key
+
+        self._chunks[sig] = chunk
+        return chunk
+
+    # --------------------------------------------------------------- generate
+
+    def generate(
+        self,
+        prompt_tokens: list[int],
+        gen: GenerationConfig | None = None,
+        stream: Callable[[int], None] | None = None,
+    ) -> tuple[list[int], GenStats]:
+        """Single-prompt generation (greedy or top-k), matching the
+        reference loop semantics (tinyllama.cpp:395-512): generate up to
+        n_predict - len(prompt) tokens, stop at EOS (not emitted)."""
+        gen = gen or GenerationConfig()
+        stats = GenStats(prompt_tokens=len(prompt_tokens))
+        key = jax.random.PRNGKey(gen.seed)
+
+        cache = self.new_cache(1)
+
+        t0 = time.perf_counter()
+        logits, cache, lens = self.prefill(cache, [prompt_tokens])
+        logits.block_until_ready()
+        stats.prefill_s = time.perf_counter() - t0
+
+        max_new = max(0, min(gen.n_predict - len(prompt_tokens),
+                             self.max_ctx - len(prompt_tokens)))
+        C = max(1, min(gen.chunk_size, max_new)) if max_new else 1
+        chunk = self._chunk_fn(C, gen.greedy, gen.top_k)
+
+        out: list[int] = []
+        pos = jnp.asarray([int(lens[0])], jnp.int32)
+        eos = jnp.int32(gen.eos_token)
+        temp = jnp.float32(gen.temperature)
+
+        t_decode = time.perf_counter()
+        finished = False
+        while len(out) < max_new and not finished:
+            t1 = time.perf_counter()
+            toks, done, logits, cache, pos, key = chunk(
+                self.params, cache, logits, pos, key, eos, temp
+            )
+            toks_np = np.asarray(toks)[0]  # one transfer per chunk
+            stats.decode_token_times.append(time.perf_counter() - t1)
+            for t in toks_np:
+                t = int(t)
+                if t == gen.eos_token:
+                    finished = True
+                    break
+                out.append(t)
+                if stream is not None:
+                    stream(t)
+                if len(out) >= max_new:
+                    break
+
+        stats.decode_s = time.perf_counter() - t_decode
+        stats.generated_tokens = len(out)
+        return out, stats
