@@ -1,0 +1,84 @@
+"""Benchmark: TinyLlama-1.1B decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N, ...}
+
+The reference publishes no throughput numbers (BASELINE.md), so
+`vs_baseline` reports the fraction of the weight-streaming HBM roofline
+achieved (BASELINE.json north star: >= 0.80). Policy defaults to q4 (the
+headline config "tokens/sec/chip at 1.1B Q4"); override with BENCH_POLICY.
+
+Weights are random — decode throughput is weight-value-independent.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    policy_name = os.environ.get("BENCH_POLICY", "q4")
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "256"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.config import (
+        GenerationConfig, POLICIES, TINYLLAMA_1_1B,
+    )
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.runtime.engine import Engine
+    from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
+
+    cfg = TINYLLAMA_1_1B
+    policy = POLICIES[policy_name]
+
+    key = jax.random.PRNGKey(0)
+    dense = llama.init_dense_params(cfg, key, dtype=jnp.float32)
+    params = llama.convert_params(dense, policy)
+    del dense
+    params = jax.block_until_ready(params)
+
+    engine = Engine(cfg, policy, params)
+    prompt = list(range(2, 34))  # 32 tokens
+    gen = GenerationConfig(
+        n_predict=n_tokens + len(prompt), greedy=True, eos_token=-1,
+        chunk_size=chunk,
+    )
+
+    # cold run (compile), then timed warm run
+    engine.generate(prompt, gen)
+    t0 = time.perf_counter()
+    out, stats = engine.generate(prompt, gen)
+    wall = time.perf_counter() - t0
+
+    tok_s = stats.decode_tokens_per_s
+    weights_bytes = tree_nbytes(params)
+    bw = detect_hbm_bw() or 819e9  # v5e default
+    roofline = bw / weights_bytes  # every decoded token streams all weights
+
+    result = {
+        "metric": f"decode_tok_s_tinyllama1.1b_{policy_name}_b1",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline, 4),
+        "detail": {
+            "policy": policy_name,
+            "tokens": stats.generated_tokens,
+            "ms_per_token": round(stats.ms_per_token, 3),
+            "prefill_ms": round(stats.prefill_s * 1000, 1),
+            "weights_mb": round(weights_bytes / 1e6, 1),
+            "roofline_tok_s": round(roofline, 1),
+            "wall_s": round(wall, 2),
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,86 @@
+"""Continuous batching scheduler invariants.
+
+Key property: per-request outputs are identical to running each request
+alone through Engine.generate (greedy, f32) — batching and slot reuse must
+not leak state across requests.
+"""
+
+import jax
+import pytest
+
+from tinyllama_tpu.config import DtypePolicy, GenerationConfig, tiny_test_config
+from tinyllama_tpu.models import llama
+from tinyllama_tpu.runtime.engine import Engine
+from tinyllama_tpu.runtime.scheduler import ContinuousBatcher
+
+CFG = tiny_test_config()
+F32 = DtypePolicy("f32", "f32", "f32")
+GEN = GenerationConfig(n_predict=24, greedy=True, eos_token=-1, chunk_size=8)
+
+PROMPTS = [
+    [3, 7, 1],
+    [9, 2, 4, 8, 5],
+    [11, 6],
+    [1, 2, 3, 4],
+    [5, 5, 5],
+]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = llama.init_dense_params(CFG, jax.random.PRNGKey(0))
+    return Engine(CFG, F32, params, max_batch=2)
+
+
+@pytest.fixture(scope="module")
+def reference_outputs(engine):
+    return {
+        i: engine.generate(p, GEN)[0] for i, p in enumerate(PROMPTS)
+    }
+
+
+def test_batched_matches_sequential(engine, reference_outputs):
+    """5 requests through 2 slots (forced slot reuse) == sequential runs."""
+    sched = ContinuousBatcher(engine, GEN, max_batch=2)
+    ids = {sched.submit(p): i for i, p in enumerate(PROMPTS)}
+    results = sched.run()
+    assert len(results) == len(PROMPTS)
+    for req_id, i in ids.items():
+        assert results[req_id].output == reference_outputs[i], f"prompt {i}"
+
+
+def test_streaming_callback_per_request(engine):
+    sched = ContinuousBatcher(engine, GEN, max_batch=2)
+    r0 = sched.submit(PROMPTS[0])
+    r1 = sched.submit(PROMPTS[1])
+    seen: dict[int, list[int]] = {r0: [], r1: []}
+    results = sched.run(stream=lambda rid, tok: seen[rid].append(tok))
+    assert seen[r0] == results[r0].output
+    assert seen[r1] == results[r1].output
+
+
+def test_mid_flight_submission(engine, reference_outputs):
+    """Submitting while others are decoding must not disturb them."""
+    sched = ContinuousBatcher(engine, GEN, max_batch=2)
+    first = sched.submit(PROMPTS[0])
+    sched.step()  # prefill + first chunk of request 0
+    late = sched.submit(PROMPTS[2])
+    results = sched.run()
+    assert results[first].output == reference_outputs[0]
+    assert results[late].output == reference_outputs[2]
+
+
+def test_max_new_respected(engine):
+    sched = ContinuousBatcher(engine, GEN, max_batch=2)
+    rid = sched.submit(PROMPTS[0], max_new=5)
+    results = sched.run()
+    assert len(results[rid].output) == 5
+
+
+def test_ttft_recorded(engine):
+    sched = ContinuousBatcher(engine, GEN, max_batch=2)
+    rid = sched.submit(PROMPTS[0])
+    results = sched.run()
+    req = results[rid]
+    assert req.first_token_s is not None
+    assert req.finished_s >= req.first_token_s >= req.submitted_s

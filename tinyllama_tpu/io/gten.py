@@ -167,18 +167,40 @@ class _Reader:
 
 
 def _decode_payload(mv: memoryview, shape: tuple[int, ...], dtype: str):
-    """-> np.ndarray (fp16/norms) or codec arrays in TPU layout."""
+    """-> np.ndarray (fp16/norms) or codec arrays in TPU layout.
+
+    Uses the C++ native decoder (tinyllama_tpu/native.py) when available —
+    GB-scale struct deinterleaving is ~10x faster there — with a numpy
+    structured-array fallback producing identical bytes.
+    """
     d_out, d_in = (shape if len(shape) == 2 else (1, shape[0]))
     if dtype == "fp16":
         w = np.frombuffer(mv, np.float16).reshape(shape)
         return w
     nb = d_in // codec.BLOCK_SIZE
     if dtype == "q8":
+        from tinyllama_tpu import native
+
+        out = native.q8_deinterleave(mv, d_out * nb)
+        if out is not None:
+            vals, deltas = out
+            return (
+                vals.reshape(d_out, d_in),
+                deltas.reshape(d_out, nb).astype(np.float32),
+            )
         rec = np.frombuffer(mv, _Q8_BLOCK).reshape(d_out, nb)
         data = rec["q"].reshape(d_out, d_in)
         scales = rec["delta"].astype(np.float32)
         return data.copy(), scales
     if dtype == "q4":
+        from tinyllama_tpu import native
+
+        out = native.q4_gten_to_planar(
+            mv, d_out, d_in, codec.q4_group_size(d_in)
+        )
+        if out is not None:
+            packed, deltas = out
+            return packed, deltas.astype(np.float32)
         rec = np.frombuffer(mv, _Q4_BLOCK).reshape(d_out, nb)
         gten_packed = rec["q"].reshape(d_out, d_in // 2)
         vals = codec.gten_q4_unpack(gten_packed)

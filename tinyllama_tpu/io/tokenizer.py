@@ -35,11 +35,21 @@ VOCAB_SIZE = 32000  # tinyllama.cpp:270
 
 
 class Tokenizer:
-    """BPE tokenizer over a llama2.c-format binary vocab file."""
+    """BPE tokenizer over a llama2.c-format binary vocab file.
+
+    Encode hot loops run in the C++ native library when available
+    (native/tinyllama_native.cpp, bit-identical output); decode and the
+    chat template stay in Python.
+    """
 
     eos = EOS_TOKEN
 
-    def __init__(self, path: str | Path, vocab_size: int = VOCAB_SIZE):
+    def __init__(
+        self,
+        path: str | Path,
+        vocab_size: int = VOCAB_SIZE,
+        use_native: bool = True,
+    ):
         self.vocab_size = vocab_size
         self.vocab: list[bytes] = []
         self.scores: list[float] = []
@@ -63,6 +73,17 @@ class Tokenizer:
         for i, piece in enumerate(self.vocab):
             self.piece_to_id.setdefault(piece, i)
         self._byte_pieces = [bytes([b]) for b in range(256)]
+        self._native = None
+        if use_native:
+            try:
+                from tinyllama_tpu import native
+
+                if native.available():
+                    self._native = native.NativeTokenizerEncoder(
+                        path, vocab_size
+                    )
+            except Exception:
+                self._native = None
 
     # ------------------------------------------------------------------ encode
 
@@ -71,6 +92,8 @@ class Tokenizer:
         template (tokenizer.h:172-283)."""
         if isinstance(text, str):
             text = text.encode("utf-8")
+        if self._native is not None:
+            return self._native.encode_raw(text)
         tokens: list[int] = []
         if text:
             tokens.append(self.piece_to_id[b" "])  # dummy prefix, :197-200

@@ -1,0 +1,96 @@
+"""Named sharding rules: Megatron-style tensor parallelism + data parallelism.
+
+No reference counterpart (SURVEY.md §5 "Distributed communication
+backend: none") — this is the TPU-native scale-out design:
+
+* column-parallel: wq/wk/wv/w_gate/w_up sharded on d_out over the "model"
+  axis (each chip computes its head/ffn slice; no communication),
+* row-parallel: wo/w_down sharded on d_in — GSPMD inserts one psum per
+  block on the residual path (2 all-reduces per layer, the Megatron
+  minimum),
+* KV cache sharded over kv-heads on "model" and batch on "data",
+* embed/norms replicated (small); lm_head sharded on vocab so the logits
+  matmul parallelizes and top-k gathers only [B, V] f32.
+
+Quantized weights shard identically: QTensor.data and .scales carry the
+same named axes as the logical weight (both have d_out at axis -2 and a
+d_in-derived last axis), so one rule covers dense and quantized params.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinyllama_tpu.config import ModelConfig
+from tinyllama_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from tinyllama_tpu.runtime.kvcache import KVCache
+
+#: PartitionSpec per layer-stacked param [L, d_out, d_in]-family.
+#: Specs apply to dense leaves and to QTensor.data/.scales alike.
+_COL_PARALLEL = ("wq", "wk", "wv", "w_gate", "w_up")  # shard d_out
+_ROW_PARALLEL = ("wo", "w_down")  # shard d_in
+
+
+def _spec_for(path: tuple, leaf) -> P:
+    names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    param = next((n for n in names if n in (
+        "embed", "norm", "lm_head", "attn_norm", "ffn_norm",
+        *_COL_PARALLEL, *_ROW_PARALLEL,
+    )), None)
+    if param is None or param in ("embed", "norm", "attn_norm", "ffn_norm"):
+        return P()
+    if param == "lm_head":
+        return P(MODEL_AXIS, None)  # shard vocab (works for data & scales)
+    if param in _COL_PARALLEL:
+        return P(None, MODEL_AXIS, None)
+    if param in _ROW_PARALLEL:
+        return P(None, None, MODEL_AXIS)
+    return P()
+
+
+def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
+    """NamedSharding pytree congruent with `params` (QTensor-aware)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params
+    )
+
+
+def cache_sharding(mesh: Mesh, cfg: ModelConfig) -> NamedSharding:
+    """KV cache [L, B, S, Kh, d]: batch on data, kv-heads on model."""
+    tp = mesh.shape[MODEL_AXIS]
+    kv_spec = MODEL_AXIS if cfg.n_kv_heads % tp == 0 and tp <= cfg.n_kv_heads \
+        else None
+    spec = P(None, DATA_AXIS, None, kv_spec, None)
+    scale_spec = P(None, DATA_AXIS, None, kv_spec)
+    return _CacheShardingRule(mesh, spec, scale_spec)
+
+
+class _CacheShardingRule:
+    """Applies KV-cache shardings to a KVCache pytree via device_put."""
+
+    def __init__(self, mesh, spec, scale_spec):
+        self.mesh = mesh
+        self.spec = spec
+        self.scale_spec = scale_spec
+
+    def apply(self, cache: KVCache) -> KVCache:
+        spec, scale_spec = self.spec, self.scale_spec
+        dp = self.mesh.shape.get(DATA_AXIS, 1)
+        if cache.batch % dp != 0:
+            # batch too small to split over the data axis (e.g. single-prompt
+            # generation on a dp>1 mesh): replicate over it instead.
+            spec = P(*(None if ax == DATA_AXIS else ax for ax in spec))
+            scale_spec = P(
+                *(None if ax == DATA_AXIS else ax for ax in scale_spec)
+            )
+        ns = NamedSharding(self.mesh, spec)
+        ss = NamedSharding(self.mesh, scale_spec)
+        return KVCache(
+            k=jax.device_put(cache.k, ns),
+            v=jax.device_put(cache.v, ns),
+            k_scale=None if cache.k_scale is None
+            else jax.device_put(cache.k_scale, ss),
+            v_scale=None if cache.v_scale is None
+            else jax.device_put(cache.v_scale, ss),
+        )

@@ -18,12 +18,16 @@ dense planes:
 * ``scales``: float32 ``[d_out, d_in//32]`` (exactly the fp16 delta values,
   upcast — fp16→fp32 is exact, so dequantized values match gten bit-for-bit)
 
-Q4 nibble packing is *half-row*: byte ``j`` of a row holds element ``j``
-in its high nibble and element ``j + d_in//2`` in its low nibble, so
-unpacking is two full-width vector ops and one concatenate — no lane
-interleaving on the VPU.  (gten instead packs per half-*block* of 16,
-quants.h:78-90; ``gten_q4_pack``/``gten_q4_unpack`` below convert between
-the two layouts for checkpoint I/O.)
+Q4 nibble packing is *group-planar*: rows are split into groups of
+``q4_group_size(d_in)`` (<= 512) elements; within a group, byte ``j`` holds
+element ``j`` in its high nibble and element ``j + G//2`` in its low
+nibble. Unpacking a group is two full-width vector ops and one
+concatenate — no lane interleaving on the VPU — and a matmul kernel that
+tiles the contraction dimension at multiples of G gets self-contained
+tiles (both nibble planes and their scales live inside the tile). (gten
+instead packs per half-*block* of 16, quants.h:78-90;
+``gten_q4_pack``/``gten_q4_unpack`` below convert between the layouts for
+checkpoint I/O.)
 """
 
 from __future__ import annotations
@@ -46,7 +50,9 @@ class QTensor:
 
     For a logical weight of shape [..., d_out, d_in]:
       * kind="q8": data int8 [..., d_out, d_in]
-      * kind="q4": data uint8 [..., d_out, d_in//2] (half-row nibble packed)
+      * kind="q4": data int8 [..., d_out, d_in//2] (group-planar nibble
+        packed; int8 rather than uint8 because Mosaic/TPU has no uint8
+        casts — nibble extraction uses arithmetic shift + mask)
       * scales: float32 [..., d_out, d_in//32]
     Leading axes (e.g. a stacked layer axis) are allowed and preserved.
     """
@@ -99,21 +105,32 @@ def quantize_q8(w: jax.Array) -> QTensor:
     )
 
 
+def q4_group_size(d_in: int) -> int:
+    """Largest packing group (<= 512) dividing d_in; 512 is the kernel's
+    K-tile quantum (ops/pallas/qmatmul.py)."""
+    for g in (512, 256, 128, 64):
+        if d_in % g == 0:
+            return g
+    raise ValueError(f"q4 requires d_in % 64 == 0, got {d_in}")
+
+
 def quantize_q4(w: jax.Array) -> QTensor:
     """Quantize along the last axis into block-32 4-bit (+7 offset), packed
-    half-row: byte j = (q[j] << 4) | q[j + d_in//2]."""
+    group-planar: within each group of G, byte j = (q[j] << 4) | q[j+G//2]."""
     d_in = w.shape[-1]
-    assert d_in % (2 * BLOCK_SIZE) == 0, w.shape
+    G = q4_group_size(d_in)
     w = w.astype(jnp.float32)
     deltas = _block_scales(w, Q4_MAX)
     deltas_f16 = deltas.astype(jnp.float16)
     inv = _safe_inv(deltas)
     blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
     q = jnp.round(blocks * inv[..., None]) + Q4_OFFSET  # [0, 14]
-    q = jnp.clip(q, 0, 14).astype(jnp.uint8).reshape(w.shape)
-    hi = q[..., : d_in // 2]
-    lo = q[..., d_in // 2 :]
-    packed = (hi << 4) | (lo & 0x0F)
+    q = jnp.clip(q, 0, 14).astype(jnp.uint8)
+    groups = q.reshape(*w.shape[:-1], d_in // G, G)
+    hi = groups[..., : G // 2]
+    lo = groups[..., G // 2 :]
+    packed = ((hi << 4) | (lo & 0x0F)).reshape(*w.shape[:-1], d_in // 2)
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
     return QTensor(data=packed, scales=deltas_f16.astype(jnp.float32), kind="q4")
 
 
@@ -131,10 +148,15 @@ def quantize(w: jax.Array, kind: str) -> QTensor:
 
 
 def unpack_q4(data: jax.Array) -> jax.Array:
-    """uint8 [..., d_in//2] -> int8-valued [..., d_in] still carrying +7 offset."""
-    hi = (data >> 4).astype(jnp.int8)
-    lo = (data & 0x0F).astype(jnp.int8)
-    return jnp.concatenate([hi, lo], axis=-1)
+    """int8 packed [..., d_in//2] -> int8-valued [..., d_in] still carrying
+    the +7 offset (inverse of the group-planar packing). Arithmetic shift +
+    mask works for both nibbles regardless of the sign bit."""
+    d_in = data.shape[-1] * 2
+    G = q4_group_size(d_in)
+    grouped = data.reshape(*data.shape[:-1], d_in // G, G // 2)
+    hi = ((grouped >> 4) & 0x0F).astype(jnp.int8)
+    lo = (grouped & 0x0F).astype(jnp.int8)
+    return jnp.concatenate([hi, lo], axis=-1).reshape(*data.shape[:-1], d_in)
 
 
 def expand_scales(scales: jax.Array) -> jax.Array:
@@ -223,14 +245,22 @@ def gten_q4_unpack(packed: np.ndarray) -> np.ndarray:
 
 
 def tpu_q4_pack(vals: np.ndarray) -> np.ndarray:
-    """Pack unpacked offset-7 values into the TPU half-row layout."""
+    """Pack unpacked offset-7 values into the TPU group-planar int8 layout."""
     d_in = vals.shape[-1]
-    hi = vals[..., : d_in // 2]
-    lo = vals[..., d_in // 2 :]
-    return ((hi << 4) | (lo & 0x0F)).astype(np.uint8)
+    G = q4_group_size(d_in)
+    groups = vals.astype(np.uint8).reshape(*vals.shape[:-1], d_in // G, G)
+    hi = groups[..., : G // 2]
+    lo = groups[..., G // 2 :]
+    return ((hi << 4) | (lo & 0x0F)).reshape(
+        *vals.shape[:-1], d_in // 2
+    ).astype(np.uint8).view(np.int8)
 
 
 def tpu_q4_unpack(packed: np.ndarray) -> np.ndarray:
-    hi = (packed >> 4).astype(np.uint8)
-    lo = (packed & 0x0F).astype(np.uint8)
-    return np.concatenate([hi, lo], axis=-1)
+    d_in = packed.shape[-1] * 2
+    G = q4_group_size(d_in)
+    u8 = packed.view(np.uint8)
+    grouped = u8.reshape(*packed.shape[:-1], d_in // G, G // 2)
+    hi = (grouped >> 4).astype(np.uint8)
+    lo = (grouped & 0x0F).astype(np.uint8)
+    return np.concatenate([hi, lo], axis=-1).reshape(*packed.shape[:-1], d_in)

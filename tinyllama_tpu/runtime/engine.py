@@ -109,7 +109,10 @@ class Engine:
             self.cfg, batch or self.max_batch, self.policy.kv_dtype, self.max_ctx
         )
         if self.cache_sharding is not None:
-            cache = jax.device_put(cache, self.cache_sharding)
+            if hasattr(self.cache_sharding, "apply"):
+                cache = self.cache_sharding.apply(cache)
+            else:
+                cache = jax.device_put(cache, self.cache_sharding)
         return cache
 
     # ------------------------------------------------------------------ steps
