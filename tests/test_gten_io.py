@@ -115,8 +115,11 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(params["embed"].scales), np.asarray(direct.scales)
         )
-        # and a stacked layer weight
-        direct_wq = codec.quantize(dense_params["layers"]["wq"], dtype)
+        # and a stacked layer weight (loaded matmul weights are K-major)
+        direct_wq = codec.quantize(
+            dense_params["layers"]["wq"], dtype, layout="kn"
+        )
+        assert params["layers"]["wq"].layout == "kn"
         np.testing.assert_array_equal(
             np.asarray(params["layers"]["wq"].data), np.asarray(direct_wq.data)
         )

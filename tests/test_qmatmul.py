@@ -17,7 +17,7 @@ def _mk(kind, M, K, N, seed=0):
     rng = np.random.default_rng(seed)
     w = jnp.asarray(rng.standard_normal((N, K)) * 0.05, jnp.float32)
     x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-    return x, codec.quantize(w, kind)
+    return x, codec.quantize(w, kind, layout="kn")
 
 
 @pytest.mark.parametrize("kind", ["q8", "q4"])
@@ -34,7 +34,7 @@ def _mk(kind, M, K, N, seed=0):
 def test_matches_jnp_dequant_matmul(kind, M, K, N):
     x, qt = _mk(kind, M, K, N)
     ref = jnp.einsum(
-        "mk,nk->mn", x, codec.dequantize(qt, jnp.bfloat16),
+        "mk,kn->mn", x, codec.dequantize(qt, jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     out = qmatmul(x, qt, out_dtype=jnp.float32, interpret=True)
@@ -65,7 +65,7 @@ def test_exact_vs_fallback_single_ktile():
     """One K-tile -> identical accumulation order -> bit-exact match."""
     x, qt = _mk("q4", 8, 512, 256)
     ref = jnp.einsum(
-        "mk,nk->mn", x, codec.dequantize(qt, jnp.bfloat16),
+        "mk,kn->mn", x, codec.dequantize(qt, jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     out = qmatmul(x, qt, out_dtype=jnp.float32, interpret=True)

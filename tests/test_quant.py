@@ -165,3 +165,30 @@ class TestStackedLayers:
             np.testing.assert_array_equal(
                 np.asarray(qt.scales[i]), np.asarray(qi.scales)
             )
+
+
+class TestKNLayout:
+    """The K-major ("kn") matmul layout must be a pure re-layout: same
+    dequantized values, transposed orientation."""
+
+    @pytest.mark.parametrize("kind", ["q8", "q4"])
+    @pytest.mark.parametrize("shape", [(8, 64), (16, 512), (4, 8, 128)])
+    def test_dequant_matches_nk_transposed(self, kind, shape):
+        w = _rand(shape, seed=21)
+        nk = codec.quantize(jnp.asarray(w), kind)
+        kn = codec.quantize(jnp.asarray(w), kind, layout="kn")
+        assert kn.layout == "kn"
+        d_nk = np.asarray(codec.dequantize(nk))
+        d_kn = np.asarray(codec.dequantize(kn))
+        np.testing.assert_array_equal(np.swapaxes(d_nk, -1, -2), d_kn)
+
+    @pytest.mark.parametrize("kind", ["q8", "q4"])
+    def test_to_kn_equals_direct_kn_quantize(self, kind):
+        w = _rand((2, 16, 128), seed=22)
+        via = codec.to_kn(codec.quantize(jnp.asarray(w), kind))
+        direct = codec.quantize(jnp.asarray(w), kind, layout="kn")
+        np.testing.assert_array_equal(np.asarray(via.data), np.asarray(direct.data))
+        np.testing.assert_array_equal(
+            np.asarray(via.scales), np.asarray(direct.scales)
+        )
+        assert via.shape == (2, 16, 128)

@@ -17,7 +17,7 @@ import numpy as np
 from tinyllama_tpu.config import DtypePolicy, ModelConfig, POLICIES
 from tinyllama_tpu.io import gten
 from tinyllama_tpu.models.llama import Params
-from tinyllama_tpu.quant.codec import QTensor
+from tinyllama_tpu.quant.codec import QTensor, to_kn
 
 _LAYER_PARAMS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
                  "attn_norm", "ffn_norm")
@@ -66,11 +66,14 @@ def load_gten_checkpoint(
         return jnp.asarray(a.astype(np.float32) if norm else a, dtype=jnp.float32
                            if norm else wdt)
 
-    def weight(decoded):
+    def weight(decoded, kn: bool = False):
         if isinstance(decoded, tuple):
             data, scales = decoded
-            return QTensor(jnp.asarray(data), jnp.asarray(scales), kind=file_dtype
-                           if file_dtype in ("q8", "q4") else "q8")
+            qt = QTensor(jnp.asarray(data), jnp.asarray(scales), kind=file_dtype
+                         if file_dtype in ("q8", "q4") else "q8")
+            # matmul weights are re-laid-out K-major for the Pallas kernel
+            # (quant/codec.py "kn"); dequantized values are unchanged.
+            return to_kn(qt) if kn else qt
         return dense(decoded)
 
     layers = {}
@@ -81,11 +84,11 @@ def load_gten_checkpoint(
                 np.stack([p.astype(np.float32) for p in per_layer])
             )
         elif isinstance(per_layer[0], tuple):
-            layers[name] = QTensor(
+            layers[name] = to_kn(QTensor(
                 data=jnp.asarray(np.stack([p[0] for p in per_layer])),
                 scales=jnp.asarray(np.stack([p[1] for p in per_layer])),
                 kind=file_dtype,
-            )
+            ))
         else:
             layers[name] = jnp.asarray(np.stack(per_layer), dtype=wdt)
 
@@ -93,7 +96,7 @@ def load_gten_checkpoint(
         "embed": weight(flat["embed"]),
         "layers": layers,
         "norm": jnp.asarray(flat["norm"].astype(np.float32)),
-        "lm_head": weight(flat["lm_head"]),
+        "lm_head": weight(flat["lm_head"], kn=True),
     }
     return params, policy
 

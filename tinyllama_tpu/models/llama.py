@@ -36,7 +36,7 @@ from tinyllama_tpu.ops.linear import (
 )
 from tinyllama_tpu.ops.norms import rms_norm
 from tinyllama_tpu.ops.rope import apply_rope, rope_table
-from tinyllama_tpu.quant.codec import quantize
+from tinyllama_tpu.quant.codec import QTensor, quantize
 from tinyllama_tpu.runtime.kvcache import KVCache, update_layer_cache
 
 Params = dict[str, Any]
@@ -101,7 +101,10 @@ def convert_params(dense: Params, policy: DtypePolicy) -> Params:
         if path_name.endswith("norm"):
             return w.astype(jnp.float32)
         if policy.is_quantized:
-            return quantize(w, policy.wdtype)
+            # matmul weights use the K-major kernel layout; the embedding
+            # table stays row-major for token gathers (ops/linear.py)
+            layout = "nk" if path_name == "embed" else "kn"
+            return quantize(w, policy.wdtype, layout=layout)
         return w.astype(_W_DTYPES[policy.wdtype])
 
     out: Params = {
@@ -133,15 +136,16 @@ def _block(
     cos,
     sin,
     use_pallas: bool,
+    layer=None,  # traced layer index iff lp's matmul weights are stacked
 ):
     """One pre-norm transformer block (gten/modules.cpp:224-254)."""
     B, T, D = x.shape
     H, Kh, d = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
 
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    q = linear(h, lp["wq"], use_pallas).reshape(B, T, H, d)
-    k = linear(h, lp["wk"], use_pallas).reshape(B, T, Kh, d)
-    v = linear(h, lp["wv"], use_pallas).reshape(B, T, Kh, d)
+    q = linear(h, lp["wq"], use_pallas, layer).reshape(B, T, H, d)
+    k = linear(h, lp["wk"], use_pallas, layer).reshape(B, T, Kh, d)
+    v = linear(h, lp["wv"], use_pallas, layer).reshape(B, T, Kh, d)
 
     q = apply_rope(q, q_positions, cos, sin)
     k = apply_rope(k, q_positions, cos, sin)
@@ -150,14 +154,14 @@ def _block(
         ck, cv, k, v, pos, ck_s, cv_s
     )
     attn = gqa_attention(q, k_eff, v_eff, q_positions).reshape(B, T, H * d)
-    x = x + linear(attn, lp["wo"], use_pallas)
+    x = x + linear(attn, lp["wo"], use_pallas, layer)
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    gate = linear(h, lp["w_gate"], use_pallas)
-    up = linear(h, lp["w_up"], use_pallas)
+    gate = linear(h, lp["w_gate"], use_pallas, layer)
+    up = linear(h, lp["w_up"], use_pallas, layer)
     # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
     ffn = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                 lp["w_down"], use_pallas)
+                 lp["w_down"], use_pallas, layer)
     return x + ffn, ck, cv, ck_s, cv_s
 
 
@@ -185,16 +189,36 @@ def forward(
 
     x = embedding_lookup(tokens, params["embed"], adt)
 
+    layers = params["layers"]
+    # Quantized weights stay stacked and are indexed inside the matmul
+    # kernel per layer (ops/pallas/qmatmul.py `layer`); scanning them as
+    # xs would make XLA copy each layer's weights in HBM every step
+    # (dynamic-slice into a custom-call does not fuse). Everything else
+    # (norms, dense weights, the cache slabs) scans as xs normally.
+    stacked = {n: w for n, w in layers.items() if isinstance(w, QTensor)}
+    scanned_ws = {n: w for n, w in layers.items() if n not in stacked}
+
     def body(carry, scanned):
         x = carry
-        lp, ck, cv, ck_s, cv_s = scanned
+        li, lp_scanned, ck, cv, ck_s, cv_s = scanned
+        lp = {**lp_scanned, **stacked}
         x, ck, cv, ck_s, cv_s = _block(
-            cfg, x, lp, ck, cv, ck_s, cv_s, pos, q_positions, cos, sin, use_pallas
+            cfg, x, lp, ck, cv, ck_s, cv_s, pos, q_positions, cos, sin,
+            use_pallas, layer=li if stacked else None,
         )
         return x, (ck, cv, ck_s, cv_s)
 
     x, (ks, vs, ks_s, vs_s) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, cache.k_scale, cache.v_scale)
+        body,
+        x,
+        (
+            jnp.arange(cfg.n_layers, dtype=jnp.int32),
+            scanned_ws,
+            cache.k,
+            cache.v,
+            cache.k_scale,
+            cache.v_scale,
+        ),
     )
 
     x = rms_norm(x, params["norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)

@@ -40,24 +40,29 @@ def gqa_attention(
     S, Kh = k.shape[1], k.shape[2]
     G = H // Kh
 
-    # keep HIGHEST precision when activations are f32 (prefill≡decode
-    # bit-consistency); bf16 operands already accumulate exactly in f32.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if jnp.float32 in (q.dtype, k.dtype)
-        else jax.lax.Precision.DEFAULT
-    )
-    qf = q.reshape(B, T, Kh, G, d).astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    f32 = jnp.float32 in (q.dtype, k.dtype)
+    if f32:
+        # f32 path: HIGHEST keeps the MXU from truncating operands to
+        # bf16 (prefill≡decode bit-consistency at f32).
+        precision = jax.lax.Precision.HIGHEST
+        qk_dtype = jnp.float32
+    else:
+        # bf16 path: MXU multiplies bf16 inputs exactly and accumulates in
+        # f32 — upcasting k/v to f32 first would only round-trip the same
+        # values through 2x the HBM traffic (the KV cache is read whole
+        # every decode step, so this is the attention hot loop's bandwidth).
+        precision = jax.lax.Precision.DEFAULT
+        qk_dtype = q.dtype
+    qc = q.reshape(B, T, Kh, G, d).astype(qk_dtype)
+    kc = k.astype(qk_dtype)
 
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
-    # [B, Kh, T, G, S]
+    # [B, Kh, T, G, S] f32
     scores = (
         jnp.einsum(
             "btkgd,bskd->bktgs",
-            qf,
-            kf,
+            qc,
+            kc,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
@@ -75,8 +80,8 @@ def gqa_attention(
 
     out = jnp.einsum(
         "bktgs,bskd->btkgd",
-        p,
-        vf,
+        p.astype(qk_dtype),
+        v.astype(qk_dtype),
         preferred_element_type=jnp.float32,
         precision=precision,
     )

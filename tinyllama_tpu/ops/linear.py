@@ -40,20 +40,43 @@ def matmul_precision(dtype) -> jax.lax.Precision:
     )
 
 
-def linear(x: jnp.ndarray, w: Weight, use_pallas: bool = False) -> jnp.ndarray:
-    """x [..., d_in] @ w[d_out, d_in]^T -> [..., d_out] in x.dtype."""
+def _dequant_matmul(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    """jnp fallback: dequantize (XLA fuses into the dot operand) + matmul.
+    Handles both storage layouts; f32 accumulator output."""
+    wd = dequantize(w, dtype=x.dtype)
+    sub = "...k,kn->...n" if w.layout == "kn" else "...k,nk->...n"
+    return jnp.einsum(
+        sub, x, wd,
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(x.dtype),
+    )
+
+
+def _slice_layer(w: QTensor, layer) -> QTensor:
+    return QTensor(w.data[layer], w.scales[layer], w.kind, w.layout)
+
+
+def linear(
+    x: jnp.ndarray, w: Weight, use_pallas: bool = False, layer=None
+) -> jnp.ndarray:
+    """x [..., d_in] @ w[d_out, d_in]^T -> [..., d_out] in x.dtype.
+
+    `layer` (traced scalar) selects one layer of a layer-stacked quantized
+    weight; the Pallas path indexes it inside the kernel's DMA descriptors
+    so the stacked array is never sliced/copied in HBM.
+    """
     if isinstance(w, QTensor):
         if use_pallas:
             from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
 
-            return qmatmul(x, w)
-        wd = dequantize(w, dtype=x.dtype)
-    else:
-        wd = w.astype(x.dtype)
+            return qmatmul(x, w, layer=layer)
+        if layer is not None:
+            w = _slice_layer(w, layer)
+        return _dequant_matmul(x, w).astype(x.dtype)
     return jnp.einsum(
         "...k,nk->...n",
         x,
-        wd,
+        w.astype(x.dtype),
         preferred_element_type=jnp.float32,
         precision=matmul_precision(x.dtype),
     ).astype(x.dtype)
@@ -71,13 +94,11 @@ def linear_f32_out(x: jnp.ndarray, w: Weight, use_pallas: bool = False) -> jnp.n
             from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
 
             return qmatmul(x, w, out_dtype=jnp.float32)
-        wd = dequantize(w, dtype=x.dtype)
-    else:
-        wd = w.astype(x.dtype)
+        return _dequant_matmul(x, w)
     return jnp.einsum(
         "...k,nk->...n",
         x,
-        wd,
+        w.astype(x.dtype),
         preferred_element_type=jnp.float32,
         precision=matmul_precision(x.dtype),
     )
@@ -91,6 +112,7 @@ def embedding_lookup(tokens: jnp.ndarray, table: Weight, dtype) -> jnp.ndarray:
     and scales first, then dequantize only the gathered rows.
     """
     if isinstance(table, QTensor):
+        assert table.layout == "nk", "embedding tables must be row-major"
         rows = QTensor(
             data=table.data[tokens], scales=table.scales[tokens], kind=table.kind
         )

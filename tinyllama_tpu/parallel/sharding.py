@@ -12,9 +12,13 @@ backend: none") — this is the TPU-native scale-out design:
 * embed/norms replicated (small); lm_head sharded on vocab so the logits
   matmul parallelizes and top-k gathers only [B, V] f32.
 
-Quantized weights shard identically: QTensor.data and .scales carry the
-same named axes as the logical weight (both have d_out at axis -2 and a
-d_in-derived last axis), so one rule covers dense and quantized params.
+Quantized weights shard on the same *logical* axes, but their storage
+layout is K-major ("kn", quant/codec.py): data/scales carry d_out on the
+last axis and a d_in-derived axis at -2, the transpose of the dense [L,
+d_out, d_in] layout — so quantized leaves get transposed specs. (The q4
+packed-nibble and block-scale rows subdivide K by 2 and 32; sharding the
+K-derived axis stays aligned as long as K/tp % 64 == 0, which holds for
+every registered model at tp <= 8.)
 """
 
 from __future__ import annotations
@@ -40,12 +44,18 @@ def _spec_for(path: tuple, leaf) -> P:
     )), None)
     if param is None or param in ("embed", "norm", "attn_norm", "ffn_norm"):
         return P()
+    # QTensor.data/.scales leaves surface as GetAttrKey path entries; their
+    # storage is K-major ("kn") — the transpose of the dense layout.
+    quantized = any(n in ("data", "scales") for n in names)
     if param == "lm_head":
-        return P(MODEL_AXIS, None)  # shard vocab (works for data & scales)
-    if param in _COL_PARALLEL:
-        return P(None, MODEL_AXIS, None)
-    if param in _ROW_PARALLEL:
-        return P(None, None, MODEL_AXIS)
+        # shard the vocab so the logits matmul parallelizes
+        return P(None, MODEL_AXIS) if quantized else P(MODEL_AXIS, None)
+    if param in _COL_PARALLEL:  # shard d_out
+        return P(None, None, MODEL_AXIS) if quantized \
+            else P(None, MODEL_AXIS, None)
+    if param in _ROW_PARALLEL:  # shard d_in
+        return P(None, MODEL_AXIS, None) if quantized \
+            else P(None, None, MODEL_AXIS)
     return P()
 
 

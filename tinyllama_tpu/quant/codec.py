@@ -44,31 +44,56 @@ Q4_MAX = 7.0  # tinyllama_to_gten.py:69
 Q4_OFFSET = 7  # tinyllama_to_gten.py:79
 
 
+#: q4 "kn" packing group: nibble planes interleave in sublane groups of
+#: KN_GROUP K-rows (32 bytes hold rows [g, g+32) high / [g+32, g+64) low).
+#: 64 keeps tensor-parallel K-sharding legal whenever K/tp % 64 == 0 and
+#: lets the matmul kernel pick any K-tile that is a multiple of 64.
+KN_GROUP = 64
+
+
 @dataclass(frozen=True)
 class QTensor:
     """A block-quantized tensor: packed integer data + per-block scales.
 
-    For a logical weight of shape [..., d_out, d_in]:
-      * kind="q8": data int8 [..., d_out, d_in]
-      * kind="q4": data int8 [..., d_out, d_in//2] (group-planar nibble
-        packed; int8 rather than uint8 because Mosaic/TPU has no uint8
-        casts — nibble extraction uses arithmetic shift + mask)
-      * scales: float32 [..., d_out, d_in//32]
+    Two storage layouts for a logical weight of shape [..., d_out, d_in]
+    (a.k.a. [N, K]):
+
+    layout="nk" (row-major; embedding gathers, checkpoint I/O):
+      * kind="q8": data int8 [..., N, K]
+      * kind="q4": data int8 [..., N, K//2] (group-planar nibble packed
+        along K within each row; int8 rather than uint8 because Mosaic/TPU
+        has no uint8 casts — nibble extraction uses arithmetic shift+mask)
+      * scales: float32 [..., N, K//32]
+
+    layout="kn" (K-major; the matmul hot path, ops/pallas/qmatmul.py):
+      * kind="q8": data int8 [..., K, N]
+      * kind="q4": data int8 [..., K//2, N]: packed row g*32+j holds
+        K-row g*64+j in its high nibble and K-row g*64+32+j in its low
+        nibble (KN_GROUP sublane groups)
+      * scales: float32 [..., K//32, N]
+      With N in lanes, in-kernel scale expansion is a sublane broadcast
+      and nibble unpacking a sublane concat — no lane shuffles anywhere.
+
     Leading axes (e.g. a stacked layer axis) are allowed and preserved.
     """
 
     data: jax.Array
     scales: jax.Array
     kind: str
+    layout: str = "nk"
 
     @property
     def shape(self) -> tuple[int, ...]:
+        """Logical [..., d_out, d_in] regardless of layout."""
+        if self.layout == "kn":
+            d_in = self.scales.shape[-2] * BLOCK_SIZE
+            return (*self.data.shape[:-2], self.data.shape[-1], d_in)
         d_in = self.scales.shape[-1] * BLOCK_SIZE
         return (*self.data.shape[:-1], d_in)
 
 
 jax.tree_util.register_dataclass(
-    QTensor, data_fields=("data", "scales"), meta_fields=("kind",)
+    QTensor, data_fields=("data", "scales"), meta_fields=("kind", "layout")
 )
 
 
@@ -89,7 +114,7 @@ def _safe_inv(deltas: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(deltas != 0, 1.0 / jnp.where(deltas != 0, deltas, 1.0), 0.0)
 
 
-def quantize_q8(w: jax.Array) -> QTensor:
+def quantize_q8(w: jax.Array, layout: str = "nk") -> QTensor:
     """Quantize along the last axis into block-32 int8 + fp16-exact scales."""
     assert w.shape[-1] % BLOCK_SIZE == 0, w.shape
     w = w.astype(jnp.float32)
@@ -100,9 +125,10 @@ def quantize_q8(w: jax.Array) -> QTensor:
     inv = _safe_inv(deltas)  # quantize with the f32 delta, like the reference
     blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
     q = jnp.round(blocks * inv[..., None]).astype(jnp.int8)
-    return QTensor(
+    qt = QTensor(
         data=q.reshape(w.shape), scales=deltas_f16.astype(jnp.float32), kind="q8"
     )
+    return to_kn(qt) if layout == "kn" else qt
 
 
 def q4_group_size(d_in: int) -> int:
@@ -114,7 +140,7 @@ def q4_group_size(d_in: int) -> int:
     raise ValueError(f"q4 requires d_in % 64 == 0, got {d_in}")
 
 
-def quantize_q4(w: jax.Array) -> QTensor:
+def quantize_q4(w: jax.Array, layout: str = "nk") -> QTensor:
     """Quantize along the last axis into block-32 4-bit (+7 offset), packed
     group-planar: within each group of G, byte j = (q[j] << 4) | q[j+G//2]."""
     d_in = w.shape[-1]
@@ -126,20 +152,68 @@ def quantize_q4(w: jax.Array) -> QTensor:
     blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
     q = jnp.round(blocks * inv[..., None]) + Q4_OFFSET  # [0, 14]
     q = jnp.clip(q, 0, 14).astype(jnp.uint8)
+    scales = deltas_f16.astype(jnp.float32)
+    if layout == "kn":
+        return QTensor(
+            data=_pack_q4_kn(q.reshape(w.shape)),
+            scales=jnp.swapaxes(scales, -1, -2),
+            kind="q4",
+            layout="kn",
+        )
     groups = q.reshape(*w.shape[:-1], d_in // G, G)
     hi = groups[..., : G // 2]
     lo = groups[..., G // 2 :]
     packed = ((hi << 4) | (lo & 0x0F)).reshape(*w.shape[:-1], d_in // 2)
     packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
-    return QTensor(data=packed, scales=deltas_f16.astype(jnp.float32), kind="q4")
+    return QTensor(data=packed, scales=scales, kind="q4")
 
 
-def quantize(w: jax.Array, kind: str) -> QTensor:
+def quantize(w: jax.Array, kind: str, layout: str = "nk") -> QTensor:
     if kind == "q8":
-        return quantize_q8(w)
+        return quantize_q8(w, layout)
     if kind == "q4":
-        return quantize_q4(w)
+        return quantize_q4(w, layout)
     raise ValueError(f"unknown quant kind: {kind}")
+
+
+def _pack_q4_kn(vals: jax.Array) -> jax.Array:
+    """Unpacked offset-7 uint8 values [.., N, K] -> "kn" packed int8
+    [.., K//2, N] (KN_GROUP sublane groups: packed row g*32+j = K-row
+    g*64+j high nibble | K-row g*64+32+j low nibble)."""
+    K = vals.shape[-1]
+    assert K % KN_GROUP == 0, vals.shape
+    vT = jnp.swapaxes(vals.astype(jnp.uint8), -1, -2)  # [.., K, N]
+    N = vT.shape[-1]
+    g = vT.reshape(*vT.shape[:-2], K // KN_GROUP, KN_GROUP, N)
+    hi = g[..., : KN_GROUP // 2, :]
+    lo = g[..., KN_GROUP // 2 :, :]
+    packed = ((hi << 4) | (lo & 0x0F)).reshape(*vT.shape[:-2], K // 2, N)
+    return jax.lax.bitcast_convert_type(packed, jnp.int8)
+
+
+def unpack_q4_kn(data: jax.Array) -> jax.Array:
+    """"kn" packed int8 [.., K//2, N] -> int8-valued [.., K, N] still
+    carrying the +7 offset (inverse of _pack_q4_kn)."""
+    K = data.shape[-2] * 2
+    N = data.shape[-1]
+    grouped = data.reshape(*data.shape[:-2], K // KN_GROUP, KN_GROUP // 2, N)
+    hi = ((grouped >> 4) & 0x0F).astype(jnp.int8)
+    lo = (grouped & 0x0F).astype(jnp.int8)
+    return jnp.concatenate([hi, lo], axis=-2).reshape(*data.shape[:-2], K, N)
+
+
+def to_kn(qt: QTensor) -> QTensor:
+    """Convert an "nk" QTensor to the "kn" matmul layout (values unchanged)."""
+    if qt.layout == "kn":
+        return qt
+    scales = jnp.swapaxes(qt.scales, -1, -2)
+    if qt.kind == "q8":
+        return QTensor(
+            data=jnp.swapaxes(qt.data, -1, -2), scales=scales,
+            kind="q8", layout="kn",
+        )
+    vals = jax.lax.bitcast_convert_type(unpack_q4(qt.data), jnp.uint8)
+    return QTensor(data=_pack_q4_kn(vals), scales=scales, kind="q4", layout="kn")
 
 
 # -----------------------------------------------------------------------------
@@ -165,6 +239,15 @@ def expand_scales(scales: jax.Array) -> jax.Array:
 
 
 def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Dense values in storage orientation: [.., N, K] for "nk",
+    [.., K, N] for "kn"."""
+    if qt.layout == "kn":
+        if qt.kind == "q8":
+            vals = qt.data.astype(jnp.float32)
+        else:
+            vals = unpack_q4_kn(qt.data).astype(jnp.float32) - Q4_OFFSET
+        sexp = jnp.repeat(qt.scales, BLOCK_SIZE, axis=-2)
+        return (vals * sexp).astype(dtype)
     if qt.kind == "q8":
         vals = qt.data.astype(jnp.float32)
     elif qt.kind == "q4":
