@@ -95,8 +95,8 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(params["embed"], np.float32), want.astype(np.float32)
         )
-        assert params["layers"]["wq"].shape == (
-            CFG.n_layers, CFG.n_embd, CFG.n_embd
+        assert params["layers"]["wqkv"].shape == (
+            CFG.n_layers, CFG.n_embd + 2 * CFG.kv_dim, CFG.n_embd
         )
         assert params["norm"].dtype == np.float32
 
@@ -115,13 +115,15 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(params["embed"].scales), np.asarray(direct.scales)
         )
-        # and a stacked layer weight (loaded matmul weights are K-major)
-        direct_wq = codec.quantize(
-            dense_params["layers"]["wq"], dtype, layout="kn"
+        # and a stacked layer weight (loaded matmul weights are K-major,
+        # q/k/v fused along d_out)
+        direct_wqkv = codec.quantize(
+            dense_params["layers"]["wqkv"], dtype, layout="kn"
         )
-        assert params["layers"]["wq"].layout == "kn"
+        assert params["layers"]["wqkv"].layout == "kn"
         np.testing.assert_array_equal(
-            np.asarray(params["layers"]["wq"].data), np.asarray(direct_wq.data)
+            np.asarray(params["layers"]["wqkv"].data),
+            np.asarray(direct_wqkv.data),
         )
 
     def test_forward_from_file_equals_in_memory_quant(self, dense_params, tmp_path):
@@ -140,7 +142,7 @@ class TestRoundTrip:
 
         toks = jnp.asarray([[1, 5, 9, 2]], jnp.int32)
         for prm in (params_file, params_mem):
-            assert prm["layers"]["wq"].kind == "q8"
+            assert prm["layers"]["wqkv"].kind == "q8"
         cache = init_cache(CFG, 1, "f32")
         h1, _ = llama.forward(CFG, policy, params_file, toks, cache,
                               jnp.zeros((1,), jnp.int32))

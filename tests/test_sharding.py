@@ -68,10 +68,11 @@ def test_quantized_sharded_matches_single_device(dense_params):
 def test_weights_are_partitioned(dense_params):
     mesh = make_mesh(tp=4)
     sharded = jax.device_put(dense_params, param_sharding(mesh, dense_params))
-    wq = sharded["layers"]["wq"]
-    # column-parallel: each device holds d_out/4
-    shard_shapes = {s.data.shape for s in wq.addressable_shards}
-    assert shard_shapes == {(CFG.n_layers, CFG.n_embd // 4, CFG.n_embd)}
+    wqkv = sharded["layers"]["wqkv"]
+    # column-parallel: each device holds (fused) d_out/4
+    d_out = CFG.n_embd + 2 * CFG.kv_dim
+    shard_shapes = {s.data.shape for s in wqkv.addressable_shards}
+    assert shard_shapes == {(CFG.n_layers, d_out // 4, CFG.n_embd)}
     wo = sharded["layers"]["wo"]
     shard_shapes = {s.data.shape for s in wo.addressable_shards}
     assert shard_shapes == {(CFG.n_layers, CFG.n_embd, CFG.n_embd // 4)}

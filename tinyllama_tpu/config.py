@@ -153,6 +153,11 @@ POLICIES: dict[str, DtypePolicy] = {
     "f16": DtypePolicy("f16", "bf16", "bf16"),
     "q8": DtypePolicy("q8", "bf16", "bf16"),
     "q4": DtypePolicy("q4", "bf16", "bf16"),
+    # int8-KV variants (the reference's quantized modes also quantize the
+    # activation cache to q8, tinyllama.cpp:258-265): 2-4x KV memory
+    # headroom for long context / large batch at ~5% decode cost at b=1.
+    "q8-kvi8": DtypePolicy("q8", "bf16", "i8"),
+    "q4-kvi8": DtypePolicy("q4", "bf16", "i8"),
 }
 
 

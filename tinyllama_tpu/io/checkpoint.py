@@ -76,21 +76,42 @@ def load_gten_checkpoint(
             return to_kn(qt) if kn else qt
         return dense(decoded)
 
+    #: runtime params fuse q/k/v and gate/up along d_out
+    #: (models/llama.py _LAYER_LINEARS); block quantization is per-row, so
+    #: concatenating pre-quantized rows preserves every dequantized value.
+    merges = {
+        "wqkv": ("wq", "wk", "wv"),
+        "wo": ("wo",),
+        "w_gateup": ("w_gate", "w_up"),
+        "w_down": ("w_down",),
+        "attn_norm": ("attn_norm",),
+        "ffn_norm": ("ffn_norm",),
+    }
+
     layers = {}
-    for name in _LAYER_PARAMS:
-        per_layer = [flat[f"{name}.{i}"] for i in range(cfg.n_layers)]
+    for name, parts in merges.items():
+        per_layer = [
+            [flat[f"{p}.{i}"] for p in parts] for i in range(cfg.n_layers)
+        ]
         if name.endswith("norm"):
             layers[name] = jnp.asarray(
-                np.stack([p.astype(np.float32) for p in per_layer])
+                np.stack([p[0].astype(np.float32) for p in per_layer])
             )
-        elif isinstance(per_layer[0], tuple):
+        elif isinstance(per_layer[0][0], tuple):
+            # quantized (data, scales) pairs: concat rows within a layer
             layers[name] = to_kn(QTensor(
-                data=jnp.asarray(np.stack([p[0] for p in per_layer])),
-                scales=jnp.asarray(np.stack([p[1] for p in per_layer])),
+                data=jnp.asarray(np.stack(
+                    [np.concatenate([t[0] for t in ps]) for ps in per_layer]
+                )),
+                scales=jnp.asarray(np.stack(
+                    [np.concatenate([t[1] for t in ps]) for ps in per_layer]
+                )),
                 kind=file_dtype,
             ))
         else:
-            layers[name] = jnp.asarray(np.stack(per_layer), dtype=wdt)
+            layers[name] = jnp.asarray(
+                np.stack([np.concatenate(ps) for ps in per_layer]), dtype=wdt
+            )
 
     params: Params = {
         "embed": weight(flat["embed"]),
@@ -112,16 +133,23 @@ def save_gten_checkpoint(
     The converter counterpart (tinyllama_to_gten.py parity) for round-trip
     tests and for producing quantized checkpoints from dense ones.
     """
+    D, kv = cfg.n_embd, cfg.kv_dim
+    # runtime layers are fused (wqkv, w_gateup); the file keeps the
+    # reference's separate tensors — split rows back out
     name_map = {
-        "wq": "self_attn.q_proj.weight",
-        "wk": "self_attn.k_proj.weight",
-        "wv": "self_attn.v_proj.weight",
-        "wo": "self_attn.o_proj.weight",
-        "w_gate": "mlp.gate_proj.weight",
-        "w_up": "mlp.up_proj.weight",
-        "w_down": "mlp.down_proj.weight",
-        "attn_norm": "input_layernorm.weight",
-        "ffn_norm": "post_attention_layernorm.weight",
+        "wqkv": (
+            ("self_attn.q_proj.weight", 0, D),
+            ("self_attn.k_proj.weight", D, D + kv),
+            ("self_attn.v_proj.weight", D + kv, D + 2 * kv),
+        ),
+        "wo": (("self_attn.o_proj.weight", 0, D),),
+        "w_gateup": (
+            ("mlp.gate_proj.weight", 0, cfg.n_ffn),
+            ("mlp.up_proj.weight", cfg.n_ffn, 2 * cfg.n_ffn),
+        ),
+        "w_down": (("mlp.down_proj.weight", 0, D),),
+        "attn_norm": (("input_layernorm.weight", 0, D),),
+        "ffn_norm": (("post_attention_layernorm.weight", 0, D),),
     }
     hf: dict[str, np.ndarray] = {
         "model.embed_tokens.weight": np.asarray(
@@ -130,8 +158,12 @@ def save_gten_checkpoint(
         "model.norm.weight": np.asarray(dense_params["norm"], dtype=np.float32),
         "lm_head.weight": np.asarray(dense_params["lm_head"], dtype=np.float32),
     }
-    for rname, suffix in name_map.items():
+    for rname, pieces in name_map.items():
         stacked = np.asarray(dense_params["layers"][rname], dtype=np.float32)
         for i in range(cfg.n_layers):
-            hf[f"model.layers.{i}.{suffix}"] = stacked[i]
+            for suffix, lo, hi in pieces:
+                w = stacked[i]
+                hf[f"model.layers.{i}.{suffix}"] = (
+                    w if w.ndim == 1 else w[lo:hi]
+                )
     gten.write_gten(path, cfg, hf, dtype)

@@ -35,23 +35,31 @@ from tinyllama_tpu.ops.linear import (
     linear_f32_out,
 )
 from tinyllama_tpu.ops.norms import rms_norm
+from tinyllama_tpu.ops.pallas.flash_decode import flash_decode_attention
 from tinyllama_tpu.ops.rope import apply_rope, rope_table
 from tinyllama_tpu.quant.codec import QTensor, quantize
-from tinyllama_tpu.runtime.kvcache import KVCache, update_layer_cache
+from tinyllama_tpu.runtime.kvcache import (
+    KVCache,
+    layer_cache_view,
+    update_cache_at_layer,
+)
 
 Params = dict[str, Any]
 
 _ACT_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
 _W_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
 
-#: per-layer linear weights and their [d_out, d_in] shapes (as fn of cfg)
+#: per-layer linear weights and their [d_out, d_in] shapes (as fn of cfg).
+#: q/k/v and gate/up are FUSED along d_out (rows [q | k | v] and
+#: [gate | up]): one matmul kernel invocation instead of three/two per
+#: block — at decode the per-launch overhead of the tiny wk/wv matmuls
+#: costs more than their FLOPs. Checkpoints keep the tensors separate
+#: (io/gten.py); the loader/saver merge/split (row-wise block quantization
+#: commutes with row concatenation, so quantize(concat) == concat(quantize)).
 _LAYER_LINEARS = {
-    "wq": lambda c: (c.n_embd, c.n_embd),
-    "wk": lambda c: (c.kv_dim, c.n_embd),
-    "wv": lambda c: (c.kv_dim, c.n_embd),
+    "wqkv": lambda c: (c.n_embd + 2 * c.kv_dim, c.n_embd),
     "wo": lambda c: (c.n_embd, c.n_embd),
-    "w_gate": lambda c: (c.n_ffn, c.n_embd),
-    "w_up": lambda c: (c.n_ffn, c.n_embd),
+    "w_gateup": lambda c: (2 * c.n_ffn, c.n_embd),
     "w_down": lambda c: (c.n_embd, c.n_ffn),
 }
 
@@ -127,42 +135,45 @@ def _block(
     cfg: ModelConfig,
     x: jnp.ndarray,  # [B, T, D] activation dtype
     lp: dict[str, Weight],
-    ck,
-    cv,
-    ck_s,
-    cv_s,
+    cache: KVCache,  # full stacked cache (carry)
+    li: jnp.ndarray,  # traced layer index
     pos: jnp.ndarray,  # [B] write offsets
     q_positions: jnp.ndarray,  # [B, T]
     cos,
     sin,
     use_pallas: bool,
-    layer=None,  # traced layer index iff lp's matmul weights are stacked
+    layer=None,  # == li iff lp's matmul weights are layer-stacked
 ):
     """One pre-norm transformer block (gten/modules.cpp:224-254)."""
     B, T, D = x.shape
     H, Kh, d = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
 
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    q = linear(h, lp["wq"], use_pallas, layer).reshape(B, T, H, d)
-    k = linear(h, lp["wk"], use_pallas, layer).reshape(B, T, Kh, d)
-    v = linear(h, lp["wv"], use_pallas, layer).reshape(B, T, Kh, d)
+    qkv = linear(h, lp["wqkv"], use_pallas, layer)
+    q = qkv[..., : H * d].reshape(B, T, H, d)
+    k = qkv[..., H * d : (H + Kh) * d].reshape(B, T, Kh, d)
+    v = qkv[..., (H + Kh) * d :].reshape(B, T, Kh, d)
 
     q = apply_rope(q, q_positions, cos, sin)
     k = apply_rope(k, q_positions, cos, sin)
 
-    ck, cv, ck_s, cv_s, k_eff, v_eff = update_layer_cache(
-        ck, cv, k, v, pos, ck_s, cv_s
-    )
-    attn = gqa_attention(q, k_eff, v_eff, q_positions).reshape(B, T, H * d)
+    cache = update_cache_at_layer(cache, li, k, v, pos)
+    if use_pallas and T == 1:
+        attn = flash_decode_attention(q, cache, li, pos)
+    else:
+        k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
+        attn = gqa_attention(q, k_eff, v_eff, q_positions)
+    attn = attn.reshape(B, T, H * d).astype(x.dtype)
     x = x + linear(attn, lp["wo"], use_pallas, layer)
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    gate = linear(h, lp["w_gate"], use_pallas, layer)
-    up = linear(h, lp["w_up"], use_pallas, layer)
+    gate_up = linear(h, lp["w_gateup"], use_pallas, layer)
+    gate = gate_up[..., : cfg.n_ffn]
+    up = gate_up[..., cfg.n_ffn :]
     # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
     ffn = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
                  lp["w_down"], use_pallas, layer)
-    return x + ffn, ck, cv, ck_s, cv_s
+    return x + ffn, cache
 
 
 def forward(
@@ -193,36 +204,32 @@ def forward(
     # Quantized weights stay stacked and are indexed inside the matmul
     # kernel per layer (ops/pallas/qmatmul.py `layer`); scanning them as
     # xs would make XLA copy each layer's weights in HBM every step
-    # (dynamic-slice into a custom-call does not fuse). Everything else
-    # (norms, dense weights, the cache slabs) scans as xs normally.
+    # (dynamic-slice into a custom-call does not fuse). The cache flows
+    # through the scan as carry for the same reason: xs/ys slicing would
+    # copy every layer's whole cache slab per step, where the carry is
+    # updated in place (runtime/kvcache.py) and read either by the flash
+    # kernel (layer-indexed DMA) or a fallback per-layer view.
     stacked = {n: w for n, w in layers.items() if isinstance(w, QTensor)}
     scanned_ws = {n: w for n, w in layers.items() if n not in stacked}
 
     def body(carry, scanned):
-        x = carry
-        li, lp_scanned, ck, cv, ck_s, cv_s = scanned
+        x, cache = carry
+        li, lp_scanned = scanned
         lp = {**lp_scanned, **stacked}
-        x, ck, cv, ck_s, cv_s = _block(
-            cfg, x, lp, ck, cv, ck_s, cv_s, pos, q_positions, cos, sin,
+        x, cache = _block(
+            cfg, x, lp, cache, li, pos, q_positions, cos, sin,
             use_pallas, layer=li if stacked else None,
         )
-        return x, (ck, cv, ck_s, cv_s)
+        return (x, cache), None
 
-    x, (ks, vs, ks_s, vs_s) = jax.lax.scan(
+    (x, cache), _ = jax.lax.scan(
         body,
-        x,
-        (
-            jnp.arange(cfg.n_layers, dtype=jnp.int32),
-            scanned_ws,
-            cache.k,
-            cache.v,
-            cache.k_scale,
-            cache.v_scale,
-        ),
+        (x, cache),
+        (jnp.arange(cfg.n_layers, dtype=jnp.int32), scanned_ws),
     )
 
     x = rms_norm(x, params["norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    return x, KVCache(k=ks, v=vs, k_scale=ks_s, v_scale=vs_s)
+    return x, cache
 
 
 def lm_head_logits(

@@ -25,8 +25,8 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def gqa_attention(
     q: jnp.ndarray,  # [B, T, H, d]
-    k: jnp.ndarray,  # [B, S, Kh, d]
-    v: jnp.ndarray,  # [B, S, Kh, d]
+    k: jnp.ndarray,  # [B, Kh, S, d]
+    v: jnp.ndarray,  # [B, Kh, S, d]
     q_positions: jnp.ndarray,  # [B, T] int32, absolute positions of queries
 ) -> jnp.ndarray:
     """Causal GQA attention of new queries against the full cache.
@@ -37,7 +37,7 @@ def gqa_attention(
     in q.dtype.
     """
     B, T, H, d = q.shape
-    S, Kh = k.shape[1], k.shape[2]
+    Kh, S = k.shape[1], k.shape[2]
     G = H // Kh
 
     f32 = jnp.float32 in (q.dtype, k.dtype)
@@ -60,7 +60,7 @@ def gqa_attention(
     # [B, Kh, T, G, S] f32
     scores = (
         jnp.einsum(
-            "btkgd,bskd->bktgs",
+            "btkgd,bksd->bktgs",
             qc,
             kc,
             preferred_element_type=jnp.float32,
@@ -79,7 +79,7 @@ def gqa_attention(
     p = p / jnp.sum(p, axis=-1, keepdims=True)
 
     out = jnp.einsum(
-        "bktgs,bskd->btkgd",
+        "bktgs,bksd->btkgd",
         p.astype(qk_dtype),
         v.astype(qk_dtype),
         preferred_element_type=jnp.float32,

@@ -1,4 +1,4 @@
-"""Fused dequantize + matmul Pallas kernel (the MXU hot path).
+"""Fused dequantize + matmul Pallas kernels (the MXU hot path).
 
 TPU-native replacement for the reference's SIMD dequant dot-product loops
 (/root/reference/gten/ops.h:224-479: vec_dot_product_q8 / _q8_q4 with AVX
@@ -10,21 +10,34 @@ full f32/bf16 weight matrix never exists anywhere.
 
 Layout: weights use the QTensor "kn" (K-major) layout (quant/codec.py) —
 data [K, N] (q8) / [K//2, N] (q4), scales [K//32, N] — so with N in the
-lane dimension every dequant step is a *sublane* operation:
+lane dimension every dequant step is a *sublane* operation: nibble planes
+are static row slices, scale rows broadcast along lanes. No lane
+shuffles, no gathers anywhere.
 
-  * scale expansion [BK//32, BN] -> [BK, BN] is a sublane broadcast +
-    reshape (each scale row covers its 32 following K-rows) — no lane
-    shuffles, no gather, no matmul (an earlier [N, K]-layout kernel spent
-    ~30x the decode-matmul FLOPs expanding scales via a one-hot MXU dot),
-  * q4 nibble unpacking is arithmetic shift + mask + a sublane concat
-    within KN_GROUP groups (codec._pack_q4_kn's planar layout),
-  * the MXU dot is a plain [BM, BK] x [BK, BN] f32-accumulating matmul.
+Two kernel bodies, chosen by the M-tile:
 
-Grid is (M/BM, N/BN, K/BK) with K innermost; the f32 output block lives in
-VMEM across the K loop as the accumulator. Ragged N (e.g. n_vocab=32003)
-relies on Pallas's masked boundary blocks: garbage in out-of-range
-*columns* only ever affects dropped outputs because K (the contraction)
-is never ragged.
+* decode (bm <= 8, the latency path): per 32-block *integer-valued* dots
+  with the block scale applied to the [bm, bn] partial product AFTER the
+  MXU — at bm=8 that is 32x fewer scale multiplies than dequantizing
+  [bk, bn] weights, so the VPU stops being the bottleneck and the kernel
+  tracks the HBM streaming rate. The q4 +7 offset never touches the
+  weights either: sum_k x*(v-7)*s == sum_blocks s*(x.v) - 7*sum_blocks
+  s*blocksum(x), and the correction term rides a tiny [bm, K/32] MXU dot.
+  This mirrors the reference's block-int accumulation structure
+  (ops.h:249-287) and is *more* precise than bf16-dequantized weights.
+* prefill (bm large, the throughput path): dequantize the [bk, bn] tile
+  once into bf16 and run one big MXU dot — per-output scaling would cost
+  bm/16 VPU ops per weight there, dequant amortizes over all bm rows.
+
+Grid is (M/BM, N/BN, K/BK) with K innermost; the f32 output block lives
+in VMEM across the K loop as the accumulator. When `layer` is given the
+weights keep their stacked [L, ...] leading axis and the layer is picked
+inside the BlockSpec index maps via scalar prefetch — under a lax.scan
+over layers this avoids XLA materializing an HBM copy of every layer's
+weights per step (a dynamic-slice feeding a custom-call cannot fuse).
+Ragged N (e.g. n_vocab=32003) relies on Pallas's masked boundary blocks:
+garbage in out-of-range *columns* only affects dropped outputs because K
+(the contraction) is never ragged.
 """
 
 from __future__ import annotations
@@ -38,10 +51,67 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinyllama_tpu.quant.codec import BLOCK_SIZE, KN_GROUP, Q4_OFFSET, QTensor
 
+#: decode-variant M-tile bound: at bm <= _SMALL_M post-dot scaling is
+#: cheaper than weight dequantization.
+_SMALL_M = 8
 
-def _qmm_kernel(*refs, kind: str, compute_dtype):
-    # with layer indexing the scalar-prefetch ref is prepended; it is only
-    # consumed by the BlockSpec index maps
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _qmm_kernel_smallm(*refs, kind: str, compute_dtype):
+    """Decode variant: integer block dots, scales applied post-MXU."""
+    x_ref, w_ref, s_ref, o_ref = refs[-4:]
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:]
+    s = s_ref[:]  # [BK//32, BN] f32
+    bn = s.shape[-1]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+
+    if kind == "q8":
+        w = w_ref[:]  # [BK, BN] i8
+        nblk = w.shape[0] // BLOCK_SIZE
+        for b in range(nblk):
+            vb = w[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE].astype(compute_dtype)
+            pb = _dot(x[:, b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE], vb,
+                      ((1,), (0,)))
+            acc += pb * s[b].reshape(1, bn)
+    else:  # q4 planar nibble groups of KN_GROUP K-rows
+        p32 = w_ref[:].astype(jnp.int32)  # [BK//2, BN]
+        half = KN_GROUP // 2  # rows per nibble plane == one 32-block
+        for g in range(p32.shape[0] // half):
+            rows = p32[g * half:(g + 1) * half]
+            hi = ((rows >> 4) & 0x0F).astype(compute_dtype)
+            lo = (rows & 0x0F).astype(compute_dtype)
+            xh = x[:, g * KN_GROUP:g * KN_GROUP + half]
+            xl = x[:, g * KN_GROUP + half:(g + 1) * KN_GROUP]
+            ph = _dot(xh, hi, ((1,), (0,)))
+            plo = _dot(xl, lo, ((1,), (0,)))
+            # fold the +7 offset out per block:
+            # sum_j x_j*(v_j-7)*s == s*(x.v) - 7*s*blocksum(x)
+            ch = float(Q4_OFFSET) * jnp.sum(
+                xh.astype(jnp.float32), axis=1, keepdims=True
+            )
+            cl = float(Q4_OFFSET) * jnp.sum(
+                xl.astype(jnp.float32), axis=1, keepdims=True
+            )
+            acc += (ph - ch) * s[2 * g].reshape(1, bn)
+            acc += (plo - cl) * s[2 * g + 1].reshape(1, bn)
+
+    o_ref[:] += acc
+
+
+def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
+    """Prefill variant: dequantize the tile once, one big MXU dot."""
     x_ref, w_ref, s_ref, o_ref = refs[-4:]
     k = pl.program_id(2)
 
@@ -54,11 +124,8 @@ def _qmm_kernel(*refs, kind: str, compute_dtype):
     if kind == "q8":
         bk = w.shape[0]
         vals = w.astype(jnp.float32)
-    else:  # q4: [BK//2, BN] planar nibble groups of KN_GROUP K-rows
+    else:
         bk = w.shape[0] * 2
-        # packed bytes are stored int8 (Mosaic has no uint8 casts) and
-        # widened to i32 before the shift (no i8 vector shifts either);
-        # arithmetic shift + mask recovers both nibbles regardless of sign
         w32 = w.astype(jnp.int32).reshape(bk // KN_GROUP, KN_GROUP // 2, bn)
         hi = (w32 >> 4) & 0x0F
         lo = w32 & 0x0F
@@ -68,20 +135,14 @@ def _qmm_kernel(*refs, kind: str, compute_dtype):
             .astype(jnp.float32)
             - float(Q4_OFFSET)
         )
-
-    # [BK//32, BN] -> [BK, BN]: broadcast each scale row over its 32 K-rows
-    s = s_ref[:]
-    sexp = jnp.broadcast_to(
-        s[:, None, :], (bk // BLOCK_SIZE, BLOCK_SIZE, bn)
-    ).reshape(bk, bn)
-
-    w_deq = (vals * sexp).astype(compute_dtype)
-    o_ref[:] += jax.lax.dot_general(
-        x_ref[:],
-        w_deq,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # [BK//32, BN] scales broadcast over each 32-row block (sublane dim)
+    s3 = s_ref[:].reshape(bk // BLOCK_SIZE, 1, bn)
+    w_deq = (
+        (vals.reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
+        .reshape(bk, bn)
+        .astype(compute_dtype)
     )
+    o_ref[:] += _dot(x_ref[:], w_deq, ((1,), (0,)))
 
 
 #: VMEM budget for one weight-data tile (double-buffered by the pipeline).
@@ -96,15 +157,15 @@ def _pick_bn(N: int) -> int:
 
 
 def _pick_bk(K: int, bn: int, kind: str) -> int:
-    """Largest multiple of 64 dividing K whose packed data tile fits the
-    VMEM budget."""
+    """Largest multiple of KN_GROUP dividing K whose packed data tile fits
+    the VMEM budget."""
     denom = 2 if kind == "q4" else 1
     best = 0
-    for bk in range(64, K + 1, 64):
+    for bk in range(KN_GROUP, K + 1, KN_GROUP):
         if K % bk == 0 and (bk // denom) * bn <= _DATA_TILE_BYTES:
             best = bk
     if not best:
-        raise ValueError(f"K={K} not tileable (needs K % 64 == 0)")
+        raise ValueError(f"K={K} not tileable (needs K % {KN_GROUP} == 0)")
     return best
 
 
@@ -122,25 +183,22 @@ def _qmatmul_2d(
     bn: int,
     interpret: bool,
 ) -> jnp.ndarray:
-    """One quantized matmul. When `layer` is given, data/scales keep their
-    stacked leading layer axis and the kernel DMAs the selected layer's
-    tiles straight from HBM via a scalar-prefetch index map — under a
-    lax.scan over layers this avoids XLA materializing a full HBM copy of
-    every weight (a dynamic-slice feeding a custom-call cannot fuse, which
-    would triple the decode step's weight traffic)."""
     M, K = x.shape
     N = data.shape[-1]
     bn = bn or _pick_bn(N)
     bk = _pick_bk(K, bn, kind)
     bk_rows = bk // 2 if kind == "q4" else bk
+    small_m = bm <= _SMALL_M
 
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
-    kernel = functools.partial(_qmm_kernel, kind=kind, compute_dtype=x.dtype)
+    body = _qmm_kernel_smallm if small_m else _qmm_kernel_bigm
+    kernel = functools.partial(body, kind=kind, compute_dtype=x.dtype)
 
     flops = 2 * M * N * K
     bytes_accessed = (
         x.size * x.dtype.itemsize
-        + (data.size + scales.size * 4) // (data.shape[0] if layer is not None else 1)
+        + (data.size + scales.size * 4)
+        // (data.shape[0] if layer is not None else 1)
         + M * N * 4
     )
     cost = pl.CostEstimate(
@@ -151,36 +209,41 @@ def _qmatmul_2d(
     )
     out_shape = jax.ShapeDtypeStruct((M, N), jnp.float32)
 
+    operands = [x]
     if layer is None:
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+        ]
+        in_specs += [
+            pl.BlockSpec((bk_rows, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((bk // BLOCK_SIZE, bn), lambda m, n, k: (k, n)),
+        ]
+        operands += [data, scales]
         out = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, bk), lambda m, n, k: (m, k),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bk_rows, bn), lambda m, n, k: (k, n),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bk // BLOCK_SIZE, bn), lambda m, n, k: (k, n),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n),
-                                   memory_space=pltpu.VMEM),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
             out_shape=out_shape,
             compiler_params=compiler_params,
             cost_estimate=cost,
             interpret=interpret,
-        )(x, data, scales)
+        )(*operands)
         return out.astype(out_dtype)
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda m, n, k, li: (m, k)),
+    ]
+    in_specs += [
+        pl.BlockSpec((None, bk_rows, bn), lambda m, n, k, li: (li[0], k, n)),
+        pl.BlockSpec((None, bk // BLOCK_SIZE, bn),
+                     lambda m, n, k, li: (li[0], k, n)),
+    ]
+    operands += [data, scales]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda m, n, k, li: (m, k)),
-            pl.BlockSpec((None, bk_rows, bn), lambda m, n, k, li: (li[0], k, n)),
-            pl.BlockSpec((None, bk // BLOCK_SIZE, bn),
-                         lambda m, n, k, li: (li[0], k, n)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, li: (m, n)),
     )
     out = pl.pallas_call(
@@ -190,7 +253,7 @@ def _qmatmul_2d(
         compiler_params=compiler_params,
         cost_estimate=cost,
         interpret=interpret,
-    )(layer, x, data, scales)
+    )(layer, *operands)
     return out.astype(out_dtype)
 
 
@@ -220,7 +283,9 @@ def qmatmul(
     x2 = x.reshape(M, K)
 
     if bm is None:
-        bm = 8 if M <= 8 else (128 if M <= 128 else 256)
+        # smallest sublane multiple covering M, capped: no padded rows for
+        # short prefills (M is already a power-of-two bucket upstream)
+        bm = _SMALL_M if M <= _SMALL_M else min(256, (M + 7) // 8 * 8)
     pad_m = (-M) % bm
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))

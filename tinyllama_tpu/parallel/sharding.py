@@ -3,8 +3,12 @@
 No reference counterpart (SURVEY.md §5 "Distributed communication
 backend: none") — this is the TPU-native scale-out design:
 
-* column-parallel: wq/wk/wv/w_gate/w_up sharded on d_out over the "model"
-  axis (each chip computes its head/ffn slice; no communication),
+* column-parallel: wqkv/w_gateup sharded on (fused) d_out over the
+  "model" axis. Note the fused rows are laid out [q | k | v] /
+  [gate | up], so a shard's rows are not one head-group's q,k,v — GSPMD
+  inserts the resharding collectives for the post-split reshapes, which
+  is correct everywhere and near-optimal for the decode-latency path
+  (the collective is on tiny [B, T, .] activations),
 * row-parallel: wo/w_down sharded on d_in — GSPMD inserts one psum per
   block on the residual path (2 all-reduces per layer, the Megatron
   minimum),
@@ -32,7 +36,7 @@ from tinyllama_tpu.runtime.kvcache import KVCache
 
 #: PartitionSpec per layer-stacked param [L, d_out, d_in]-family.
 #: Specs apply to dense leaves and to QTensor.data/.scales alike.
-_COL_PARALLEL = ("wq", "wk", "wv", "w_gate", "w_up")  # shard d_out
+_COL_PARALLEL = ("wqkv", "w_gateup")  # shard (fused) d_out
 _ROW_PARALLEL = ("wo", "w_down")  # shard d_in
 
 
@@ -67,12 +71,12 @@ def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
 
 
 def cache_sharding(mesh: Mesh, cfg: ModelConfig) -> NamedSharding:
-    """KV cache [L, B, S, Kh, d]: batch on data, kv-heads on model."""
+    """KV cache [L, B, Kh, S, d]: batch on data, kv-heads on model."""
     tp = mesh.shape[MODEL_AXIS]
     kv_spec = MODEL_AXIS if cfg.n_kv_heads % tp == 0 and tp <= cfg.n_kv_heads \
         else None
-    spec = P(None, DATA_AXIS, None, kv_spec, None)
-    scale_spec = P(None, DATA_AXIS, None, kv_spec)
+    spec = P(None, DATA_AXIS, kv_spec, None, None)
+    scale_spec = P(None, DATA_AXIS, kv_spec, None)
     return _CacheShardingRule(mesh, spec, scale_spec)
 
 

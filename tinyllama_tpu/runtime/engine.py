@@ -256,11 +256,18 @@ class Engine:
 
         t_decode = time.perf_counter()
         finished = False
+        # Speculative double-buffering: dispatch chunk i+1 (async) before
+        # reading chunk i's tokens, so the host<->device round-trip (large
+        # behind a remote-chip tunnel) overlaps device execution. At most
+        # one chunk of work is wasted when EOS lands.
+        toks, done, logits, cache, pos, key = chunk(
+            self.params, cache, logits, pos, key, eos, temp
+        )
         while len(out) < max_new and not finished:
             t1 = time.perf_counter()
-            toks, done, logits, cache, pos, key = chunk(
-                self.params, cache, logits, pos, key, eos, temp
-            )
+            need_more = len(out) + toks.shape[1] < max_new
+            if need_more:
+                nxt = chunk(self.params, cache, logits, pos, key, eos, temp)
             toks_np = np.asarray(toks)[0]  # one transfer per chunk
             stats.decode_token_times.append(time.perf_counter() - t1)
             for t in toks_np:
@@ -273,6 +280,9 @@ class Engine:
                     stream(t)
                 if len(out) >= max_new:
                     break
+            if not need_more:
+                break
+            toks, done, logits, cache, pos, key = nxt
 
         stats.decode_s = time.perf_counter() - t_decode
         stats.generated_tokens = len(out)

@@ -4,14 +4,21 @@ The reference realizes its KV cache implicitly: persistent max_ctx-row
 activation buffers plus a start_pos cursor (SURVEY.md C16;
 /root/reference/gten/tensor.cpp:124-134 and every modules.cpp forward).
 On TPU everything under jit needs static shapes, so the cache is an
-explicit array pytree of shape [n_layers, B, max_ctx, n_kv_heads, d_head],
-updated with per-batch dynamic_update_slice (a scatter across the batch,
-enabling continuous batching where every slot sits at a different position).
+explicit array pytree of shape [n_layers, B, n_kv_heads, max_ctx, d_head]
+— head-major, so one (layer, seq, head)'s history is a single contiguous
+S x d slab that the flash-decode kernel (ops/pallas/flash_decode.py) can
+DMA in one straight HBM run.
 
-Supports an int8-quantized mode (kv_dtype="i8"): values stored as int8 with
-a per-(position, kv-head) f32 scale (absmax/127), halving/quartering HBM
-traffic for the decode-attention read — the TPU analog of the reference's
-q8 activation cache (ops.h:522-528).
+The full stacked arrays flow through the layer scan as *carry* and are
+updated in place with per-(layer, batch-row) dynamic_update_slice —
+scanning them as xs/ys would make XLA materialize per-layer copies of
+the whole cache every step (the same custom-call fusion limit that moved
+weight layer-indexing into the matmul kernel).
+
+Supports an int8-quantized mode (kv_dtype="i8"): values stored as int8
+with a per-(kv-head, position) f32 scale (absmax/127), halving/quartering
+HBM traffic for the decode-attention read — the TPU analog of the
+reference's q8 activation cache (ops.h:522-528).
 """
 
 from __future__ import annotations
@@ -29,11 +36,11 @@ _KV_JNP_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
 
 @dataclass(frozen=True)
 class KVCache:
-    """k/v: [L, B, S, Kh, d] in storage dtype; scales present iff int8."""
+    """k/v: [L, B, Kh, S, d] in storage dtype; scales present iff int8."""
 
     k: jax.Array
     v: jax.Array
-    k_scale: jax.Array | None  # [L, B, S, Kh] f32, or None
+    k_scale: jax.Array | None  # [L, B, Kh, S] f32, or None
     v_scale: jax.Array | None
 
     @property
@@ -42,7 +49,7 @@ class KVCache:
 
     @property
     def max_ctx(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def quantized(self) -> bool:
@@ -58,7 +65,7 @@ def init_cache(
     cfg: ModelConfig, batch: int, kv_dtype: str = "bf16", max_ctx: int | None = None
 ) -> KVCache:
     S = max_ctx or cfg.max_ctx
-    shape = (cfg.n_layers, batch, S, cfg.n_kv_heads, cfg.d_head)
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, S, cfg.d_head)
     if kv_dtype == "i8":
         return KVCache(
             k=jnp.zeros(shape, jnp.int8),
@@ -73,7 +80,7 @@ def init_cache(
 
 
 def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(pos, head) int8 quantization: scale = absmax/127."""
+    """Per-(head, pos) int8 quantization along d: scale = absmax/127."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = absmax / 127.0
     inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
@@ -81,37 +88,52 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-@partial(jax.vmap, in_axes=(0, 0, 0))  # over batch
-def _write_at(buf, new, pos):
-    """buf [S, ...], new [T, ...] -> buf with new written at row `pos`."""
-    start = (pos,) + (0,) * (buf.ndim - 1)
-    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype), start)
+@partial(jax.vmap, in_axes=(1, 0, None, 0), out_axes=1)
+def _write_rows(buf, new, li, pos):
+    """Per batch row: buf [L, Kh, S, *], new [Kh, T, *] -> write at
+    (li, :, pos)."""
+    start = (li, 0, pos) + (0,) * (buf.ndim - 3)
+    return jax.lax.dynamic_update_slice(buf, new[None].astype(buf.dtype), start)
 
 
-def update_layer_cache(
-    ck: jnp.ndarray,
-    cv: jnp.ndarray,
+def update_cache_at_layer(
+    cache: KVCache,
+    li: jnp.ndarray,  # scalar int32 layer index
     k_new: jnp.ndarray,  # [B, T, Kh, d] activation dtype
     v_new: jnp.ndarray,
     pos: jnp.ndarray,  # [B] int32 write offsets
-    ck_scale: jnp.ndarray | None = None,
-    cv_scale: jnp.ndarray | None = None,
-):
-    """Write T new positions into one layer's [B, S, Kh, d] cache slabs.
+) -> KVCache:
+    """Write T new positions into layer `li` of the stacked cache slabs,
+    in place under jit (donated carry)."""
+    kh = k_new.transpose(0, 2, 1, 3)  # [B, Kh, T, d]
+    vh = v_new.transpose(0, 2, 1, 3)
+    if cache.quantized:
+        kq, ks = _quantize_kv(kh)
+        vq, vs = _quantize_kv(vh)
+        return KVCache(
+            k=_write_rows(cache.k, kq, li, pos),
+            v=_write_rows(cache.v, vq, li, pos),
+            k_scale=_write_rows(cache.k_scale, ks, li, pos),
+            v_scale=_write_rows(cache.v_scale, vs, li, pos),
+        )
+    return KVCache(
+        k=_write_rows(cache.k, kh, li, pos),
+        v=_write_rows(cache.v, vh, li, pos),
+        k_scale=None,
+        v_scale=None,
+    )
 
-    Returns (ck, cv, ck_scale, cv_scale, k_eff, v_eff) where k_eff/v_eff are
-    the full dequantized-to-compute-dtype cache views for attention.
+
+def layer_cache_view(
+    cache: KVCache, li: jnp.ndarray, dtype
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Layer li's cache dequantized to `dtype`: (k, v) each [B, Kh, S, d].
+
+    The XLA fallback read path (prefill and non-Pallas decode); the
+    flash-decode kernel instead reads the stacked arrays directly.
     """
-    if ck_scale is not None:
-        kq, ks = _quantize_kv(k_new)
-        vq, vs = _quantize_kv(v_new)
-        ck = _write_at(ck, kq, pos)
-        cv = _write_at(cv, vq, pos)
-        ck_scale = _write_at(ck_scale, ks, pos)
-        cv_scale = _write_at(cv_scale, vs, pos)
-        k_eff = ck.astype(jnp.float32) * ck_scale[..., None]
-        v_eff = cv.astype(jnp.float32) * cv_scale[..., None]
-        return ck, cv, ck_scale, cv_scale, k_eff, v_eff
-    ck = _write_at(ck, k_new, pos)
-    cv = _write_at(cv, v_new, pos)
-    return ck, cv, None, None, ck, cv
+    k, v = cache.k[li], cache.v[li]
+    if cache.quantized:
+        k = k.astype(jnp.float32) * cache.k_scale[li][..., None]
+        v = v.astype(jnp.float32) * cache.v_scale[li][..., None]
+    return k.astype(dtype), v.astype(dtype)
