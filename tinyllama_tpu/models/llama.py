@@ -36,6 +36,7 @@ from tinyllama_tpu.ops.linear import (
 )
 from tinyllama_tpu.ops.norms import rms_norm
 from tinyllama_tpu.ops.pallas.flash_decode import flash_decode_attention
+from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 from tinyllama_tpu.ops.rope import apply_rope, rope_table
 from tinyllama_tpu.quant.codec import QTensor, quantize
 from tinyllama_tpu.runtime.kvcache import (
@@ -160,6 +161,8 @@ def _block(
     cache = update_cache_at_layer(cache, li, k, v, pos)
     if use_pallas and T == 1:
         attn = flash_decode_attention(q, cache, li, pos)
+    elif use_pallas:
+        attn = flash_prefill_attention(q, cache, li, pos)
     else:
         k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
         attn = gqa_attention(q, k_eff, v_eff, q_positions)

@@ -40,10 +40,13 @@ def gqa_attention(
     Kh, S = k.shape[1], k.shape[2]
     G = H // Kh
 
-    f32 = jnp.float32 in (q.dtype, k.dtype)
+    f32 = any(
+        t in (q.dtype, k.dtype) for t in (jnp.float32, jnp.float16)
+    )
     if f32:
-        # f32 path: HIGHEST keeps the MXU from truncating operands to
-        # bf16 (prefill≡decode bit-consistency at f32).
+        # f32/f16 path: HIGHEST + f32 upcast keeps the MXU from
+        # truncating operands to bf16 (prefill≡decode bit-consistency at
+        # f32; f16 has more mantissa bits than bf16).
         precision = jax.lax.Precision.HIGHEST
         qk_dtype = jnp.float32
     else:

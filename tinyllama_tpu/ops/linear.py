@@ -31,11 +31,14 @@ Weight = Union[jnp.ndarray, QTensor]
 def matmul_precision(dtype) -> jax.lax.Precision:
     """f32 operands must use HIGHEST on TPU: the DEFAULT precision lowers
     f32 matmuls to bf16 MXU passes, whose rounding depends on the operand
-    shapes — which would break the prefill≡decode invariant at f32. For
-    sub-f32 operands DEFAULT is already exact-input/f32-accumulate."""
+    shapes — which would break the prefill≡decode invariant at f32. f16
+    operands too: bf16 has 3 fewer mantissa bits, so DEFAULT would round
+    the inputs (the reference's fp16 mode computes fp16 dots in full f32,
+    ops.h:140-174 — parity needs exact-input matmuls). bf16 operands are
+    already exact-input/f32-accumulate at DEFAULT."""
     return (
         jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
+        if dtype in (jnp.float32, jnp.float16)
         else jax.lax.Precision.DEFAULT
     )
 

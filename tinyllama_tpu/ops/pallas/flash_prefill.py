@@ -1,0 +1,198 @@
+"""Blockwise (flash) causal GQA prefill attention over the stacked cache.
+
+The reference materializes dense ctx x ctx attention scores per head in a
+preallocated buffer (SURVEY.md C14/C16; /root/reference/gten/modules.cpp:
+180 `qk_acv {n_heads, max_ctx, max_ctx}`) — quadratic memory by design.
+This kernel never materializes them: S is tiled with the standard online-
+softmax recurrence (running row max m, normalizer l, output accumulator),
+so prefill memory is O(tile) regardless of context length.
+
+Structure mirrors ops/pallas/flash_decode.py: the KV cache stays stacked
+[L, B, Kh, S, d] (the new tokens' k/v already written), the layer rides a
+scalar-prefetch index map, int8-KV scales fold into scores / softmax
+weights as lane-aligned [1, BS] multiplies. The GQA group dimension is
+flattened into the query rows (row r of a (b, kh) step is query token
+r // G, group member r % G), which keeps every matmul 2-D and the causal
+mask a pure iota comparison.
+
+Grid: (B, Kh, TG/BTG, S/BS) with S innermost; S-tiles strictly above the
+causal diagonal skip their compute (their DMAs still run — pruning those
+needs a data-dependent grid, only worth it at much longer context).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    li_ref, pos_ref, q_ref, k_ref, v_ref, *rest,
+    compute_dtype, G: int, bs: int, n_s: int,
+):
+    if len(rest) == 6:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, acc_ref, m_ref, l_ref = rest
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    t = pl.program_id(2)
+    s = pl.program_id(3)
+    BTG, d = q_ref.shape
+
+    @pl.when(s == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    row0 = t * BTG
+    # the tile's last query row bounds its causal reach
+    t_max = pos_ref[b] + (row0 + BTG - 1) // G
+
+    @pl.when(s * bs <= t_max)
+    def _():
+        q = q_ref[:].astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            q, k_ref[:].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / (d ** 0.5))  # [BTG, BS]
+        if ks_ref is not None:
+            scores = scores * ks_ref[pl.ds(h, 1), :]
+
+        # absolute query position of each flattened (token, group) row
+        t_abs = pos_ref[b] + (
+            row0 + jax.lax.broadcasted_iota(jnp.int32, (BTG, bs), 0)
+        ) // G
+        s_abs = s * bs + jax.lax.broadcasted_iota(jnp.int32, (BTG, bs), 1)
+        scores = jnp.where(s_abs <= t_abs, scores, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # [BTG, 1] (lanes replicated)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        row_l = jnp.sum(p, axis=1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[pl.ds(h, 1), :]
+        l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(row_l, l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(compute_dtype), v_ref[:].astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+def _tile(n: int, cap: int) -> int:
+    t = min(n, cap)
+    while n % t:
+        t //= 2
+    return max(t, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "interpret"))
+def _run(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
+    B, Kh, TG, d = qg.shape
+    S = ck.shape[3]
+    compute_dtype = qg.dtype
+    quant = ck_s is not None
+
+    btg = _tile(TG, 512)
+    bs = _tile(S, 512)
+    n_s = S // bs
+    grid = (B, Kh, TG // btg, S // bs)
+
+    in_specs = [
+        pl.BlockSpec((None, None, btg, d),
+                     lambda b, h, t, s, li, pos: (b, h, t, 0)),
+        pl.BlockSpec((None, None, None, bs, d),
+                     lambda b, h, t, s, li, pos: (li[0], b, h, s, 0)),
+        pl.BlockSpec((None, None, None, bs, d),
+                     lambda b, h, t, s, li, pos: (li[0], b, h, s, 0)),
+    ]
+    operands = [qg, ck, cv]
+    if quant:
+        scale_spec = pl.BlockSpec(
+            (None, None, Kh, bs), lambda b, h, t, s, li, pos: (li[0], b, 0, s)
+        )
+        in_specs += [scale_spec, scale_spec]
+        operands += [ck_s, cv_s]
+
+    kernel = functools.partial(
+        _kernel, compute_dtype=compute_dtype, G=G, bs=bs, n_s=n_s
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, None, btg, d),
+                               lambda b, h, t, s, li, pos: (b, h, t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((btg, d), jnp.float32),
+            pltpu.VMEM((btg, 128), jnp.float32),
+            pltpu.VMEM((btg, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kh, TG, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Kh * TG * S * d,
+            bytes_accessed=2 * B * Kh * S * d * ck.dtype.itemsize,
+            transcendentals=B * Kh * TG * S,
+        ),
+        interpret=interpret,
+    )(li, pos, *operands)
+
+
+def flash_prefill_attention(
+    q: jnp.ndarray,  # [B, T, H, d] activation dtype
+    cache,  # KVCache ([L, B, Kh, S, d]); new k/v already written
+    li: jnp.ndarray,  # scalar int32 layer index
+    pos: jnp.ndarray,  # [B] int32 position of tokens[:, 0]
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Causal GQA attention for T new tokens against layer `li`.
+
+    Returns [B, T, H, d] in q.dtype.
+    """
+    B, T, H, d = q.shape
+    Kh = cache.k.shape[2]
+    G = H // Kh
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # flatten (token, group) into query rows: row r -> token r // G
+    qg = (
+        q.reshape(B, T, Kh, G, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, Kh, T * G, d)
+    )
+    out = _run(
+        qg, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
+        G, interpret,
+    )
+    return (
+        out.reshape(B, Kh, T, G, d)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, T, H, d)
+        .astype(q.dtype)
+    )
