@@ -21,6 +21,9 @@ def main() -> int:
     policy_name = os.environ.get("BENCH_POLICY", "q4")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "256"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    if batch > 1:
+        return batched_bench(policy_name, batch, chunk)
 
     import jax
     import jax.numpy as jnp
@@ -77,6 +80,65 @@ def main() -> int:
         },
     }
     print(json.dumps(result))
+    return 0
+
+
+def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
+    """Aggregate decode throughput at BENCH_BATCH sequences (the serving
+    regime: weight streaming amortizes across the batch)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.config import POLICIES, TINYLLAMA_1_1B
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.runtime.engine import Engine
+    from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
+
+    cfg = TINYLLAMA_1_1B
+    policy = POLICIES[policy_name]
+    dense = llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    params = jax.block_until_ready(llama.convert_params(dense, policy))
+    del dense
+
+    engine = Engine(cfg, policy, params, max_batch=batch)
+    cache = engine.new_cache(batch)
+    logits, cache, lens = engine.prefill(cache, [list(range(2, 34))] * batch)
+    step = engine._chunk_fn(chunk, True, 50)
+    pos = jnp.asarray(lens, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    args = (jnp.int32(-1), jnp.float32(1.0))
+    toks, done, logits, cache, pos, key = step(
+        params, cache, logits, pos, key, *args
+    )
+    jax.block_until_ready(toks)
+    rounds, n = 3, 0
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        toks, done, logits, cache, pos, key = step(
+            params, cache, logits, pos, key, *args
+        )
+        n += toks.size
+    jax.block_until_ready(toks)
+    wall = time.perf_counter() - t0
+
+    tok_s = n / wall
+    bw = detect_hbm_bw() or 819e9
+    roofline = bw / tree_nbytes(params) * batch  # perfect weight amortization
+    print(json.dumps({
+        "metric": f"decode_tok_s_tinyllama1.1b_{policy_name}_b{batch}",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline, 4),
+        "detail": {
+            "policy": policy_name, "batch": batch,
+            "ms_per_step": round(wall / rounds / chunk * 1000, 3),
+            "per_seq_tok_s": round(tok_s / batch, 2),
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
     return 0
 
 

@@ -159,9 +159,13 @@ def _block(
     k = apply_rope(k, q_positions, cos, sin)
 
     cache = update_cache_at_layer(cache, li, k, v, pos)
-    if use_pallas and T == 1:
+    if use_pallas and T == 1 and B == 1:
+        # single-sequence decode: one unblocked S pass, no online-softmax
+        # state (marginally faster than the blocked kernel at b=1)
         attn = flash_decode_attention(q, cache, li, pos)
     elif use_pallas:
+        # blocked kernel with causal tile pruning: cost tracks the filled
+        # context per sequence, which is what batched decode needs
         attn = flash_prefill_attention(q, cache, li, pos)
     else:
         k_eff, v_eff = layer_cache_view(cache, li, x.dtype)

@@ -114,18 +114,30 @@ def _run(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
     n_s = S // bs
     grid = (B, Kh, TG // btg, S // bs)
 
+    def _s_eff(b, t, s, pos):
+        # clamp key tiles past the causal frontier to the last visible
+        # tile: repeated block indices skip their DMA in the Pallas
+        # pipeline, and the kernel's `s * bs <= t_max` gate skips their
+        # compute — so cost tracks the *filled* context, not max_ctx
+        # (decode at position p reads ceil((p+1)/BS) tiles, not S/BS)
+        t_max = pos[b] + ((t + 1) * btg - 1) // G
+        return jnp.minimum(s, t_max // bs)
+
     in_specs = [
         pl.BlockSpec((None, None, btg, d),
                      lambda b, h, t, s, li, pos: (b, h, t, 0)),
         pl.BlockSpec((None, None, None, bs, d),
-                     lambda b, h, t, s, li, pos: (li[0], b, h, s, 0)),
+                     lambda b, h, t, s, li, pos:
+                     (li[0], b, h, _s_eff(b, t, s, pos), 0)),
         pl.BlockSpec((None, None, None, bs, d),
-                     lambda b, h, t, s, li, pos: (li[0], b, h, s, 0)),
+                     lambda b, h, t, s, li, pos:
+                     (li[0], b, h, _s_eff(b, t, s, pos), 0)),
     ]
     operands = [qg, ck, cv]
     if quant:
         scale_spec = pl.BlockSpec(
-            (None, None, Kh, bs), lambda b, h, t, s, li, pos: (li[0], b, 0, s)
+            (None, None, Kh, bs),
+            lambda b, h, t, s, li, pos: (li[0], b, 0, _s_eff(b, t, s, pos)),
         )
         in_specs += [scale_spec, scale_spec]
         operands += [ck_s, cv_s]

@@ -128,12 +128,18 @@ def run_ours(ckpt: Path, dtype: str, prompt: str, npred: int) -> str:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dtype", default="fp16", choices=("fp16", "q8", "q4"))
-    ap.add_argument("--npred", type=int, default=16,
-                    help="generation budget INCLUDING the prompt tokens")
+    ap.add_argument("--npred", type=int, default=32,
+                    help="generation budget INCLUDING the prompt tokens. "
+                    "Must be >= 32: the reference sizes its context to "
+                    "npred (tinyllama.cpp:267) and computes corrupted "
+                    "logits below 32 (buffer/block-size assumption; "
+                    "verified bit-identical for every n_ctx >= 32)")
     ap.add_argument("--prompt", default="Who is Karl Marx?")
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
+    if args.npred < 32:
+        ap.error("--npred must be >= 32 (see help)")
 
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
