@@ -146,7 +146,7 @@ def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
 
 
 #: VMEM budget for one weight-data tile (double-buffered by the pipeline).
-_DATA_TILE_BYTES = 512 * 1024
+_DATA_TILE_BYTES = 1024 * 1024
 
 
 def _pick_bn(N: int) -> int:
@@ -157,14 +157,19 @@ def _pick_bn(N: int) -> int:
 
 
 def _pick_bk(K: int, bn: int, kind: str) -> int:
-    """Largest multiple of KN_GROUP dividing K whose packed data tile fits
-    the VMEM budget."""
+    """Largest K-tile whose packed data tile fits the VMEM budget.
+
+    Legal tiles are multiples of 256 (x-tile lanes need a 128 quantum and
+    the [bk//32, bn] scales tile an 8-sublane quantum) or the whole K
+    (full-array block dims are always legal)."""
     denom = 2 if kind == "q4" else 1
     best = 0
-    for bk in range(KN_GROUP, K + 1, KN_GROUP):
+    for bk in range(256, K + 1, 256):
         if K % bk == 0 and (bk // denom) * bn <= _DATA_TILE_BYTES:
             best = bk
     if not best:
+        if K % KN_GROUP == 0 and (K // denom) * bn <= _DATA_TILE_BYTES:
+            return K  # small K: single full-dim tile
         raise ValueError(f"K={K} not tileable (needs K % {KN_GROUP} == 0)")
     return best
 
