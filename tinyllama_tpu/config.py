@@ -37,10 +37,14 @@ class ModelConfig:
     norm_eps_inside_sqrt: bool = False
     # Whether lm_head weights are tied to the embedding table.
     tie_lm_head: bool = False
+    # Explicit head dim; None derives n_embd // n_heads. Set by
+    # parallel/tp.py local_config, where per-shard head counts shrink but
+    # the head dim must not.
+    head_dim: int | None = None
 
     @property
     def d_head(self) -> int:
-        return self.n_embd // self.n_heads
+        return self.head_dim or self.n_embd // self.n_heads
 
     @property
     def q_heads_per_group(self) -> int:

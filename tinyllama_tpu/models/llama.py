@@ -144,10 +144,20 @@ def _block(
     sin,
     use_pallas: bool,
     layer=None,  # == li iff lp's matmul weights are layer-stacked
+    tp_axis: str | None = None,  # shard_map TP: psum after row-parallel mats
 ):
-    """One pre-norm transformer block (gten/modules.cpp:224-254)."""
+    """One pre-norm transformer block (gten/modules.cpp:224-254).
+
+    Under shard_map tensor parallelism (parallel/tp.py) `cfg` carries the
+    per-shard head/ffn counts, lp's weights are the local shards, and the
+    two row-parallel matmul outputs (wo, w_down) are all-reduced over
+    `tp_axis` — the Megatron-minimal 2 collectives per block.
+    """
     B, T, D = x.shape
     H, Kh, d = cfg.n_heads, cfg.n_kv_heads, cfg.d_head
+
+    def _reduce(y):
+        return jax.lax.psum(y, tp_axis) if tp_axis else y
 
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
     qkv = linear(h, lp["wqkv"], use_pallas, layer)
@@ -171,7 +181,7 @@ def _block(
         k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
         attn = gqa_attention(q, k_eff, v_eff, q_positions)
     attn = attn.reshape(B, T, H * d).astype(x.dtype)
-    x = x + linear(attn, lp["wo"], use_pallas, layer)
+    x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer))
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
     gate_up = linear(h, lp["w_gateup"], use_pallas, layer)
@@ -180,7 +190,7 @@ def _block(
     # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
     ffn = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
                  lp["w_down"], use_pallas, layer)
-    return x + ffn, cache
+    return x + _reduce(ffn), cache
 
 
 def forward(
@@ -192,6 +202,7 @@ def forward(
     pos: jnp.ndarray,  # [B] int32: absolute position of tokens[:, 0]
     rope_tables: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     use_pallas: bool = False,
+    tp_axis: str | None = None,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run the model over T new tokens per sequence.
 
@@ -225,7 +236,7 @@ def forward(
         lp = {**lp_scanned, **stacked}
         x, cache = _block(
             cfg, x, lp, cache, li, pos, q_positions, cos, sin,
-            use_pallas, layer=li if stacked else None,
+            use_pallas, layer=li if stacked else None, tp_axis=tp_axis,
         )
         return (x, cache), None
 
