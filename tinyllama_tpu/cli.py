@@ -127,6 +127,14 @@ def main(argv=None) -> int:
                                         dtype=jnp.float32)
         params = llama.convert_params(dense, policy)
         del dense
+    elif args.ckpt and (
+        Path(args.ckpt).is_dir()
+        or Path(args.ckpt).suffix in (".safetensors", ".bin", ".pt")
+    ):
+        # HF checkpoint (file or sharded directory), loaded directly
+        from tinyllama_tpu.io.checkpoint import load_hf_checkpoint
+
+        params = load_hf_checkpoint(Path(args.ckpt), cfg, policy)
     else:
         from tinyllama_tpu.io.checkpoint import load_gten_checkpoint
 

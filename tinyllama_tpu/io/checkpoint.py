@@ -122,6 +122,111 @@ def load_gten_checkpoint(
     return params, policy
 
 
+#: HF parameter names composing each (fused) runtime layer weight
+_HF_LAYER = {
+    "wqkv": ("self_attn.q_proj.weight", "self_attn.k_proj.weight",
+             "self_attn.v_proj.weight"),
+    "wo": ("self_attn.o_proj.weight",),
+    "w_gateup": ("mlp.gate_proj.weight", "mlp.up_proj.weight"),
+    "w_down": ("mlp.down_proj.weight",),
+    "attn_norm": ("input_layernorm.weight",),
+    "ffn_norm": ("post_attention_layernorm.weight",),
+}
+
+
+def _load_hf_state_dict(path: Path) -> dict[str, np.ndarray]:
+    """HF checkpoint file or directory -> {name: np.ndarray}.
+
+    Supports .safetensors (single or index.json-sharded) and torch .bin.
+    """
+    if path.is_dir():
+        idx = path / "model.safetensors.index.json"
+        if idx.exists():
+            import json
+
+            from safetensors.numpy import load_file
+
+            weight_map = json.loads(idx.read_text())["weight_map"]
+            out: dict[str, np.ndarray] = {}
+            for shard in sorted(set(weight_map.values())):
+                out.update(load_file(path / shard))
+            return out
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            if (path / name).exists():
+                return _load_hf_state_dict(path / name)
+        raise FileNotFoundError(f"no checkpoint found under {path}")
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    with open(path, "rb") as f:
+        ckpt = torch.load(f, map_location="cpu", weights_only=True)
+    if "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return {k: v.float().numpy() for k, v in ckpt.items()}
+
+
+def load_hf_checkpoint(
+    path: str | Path,
+    cfg: ModelConfig,
+    policy: DtypePolicy,
+) -> Params:
+    """Load a HuggingFace Llama-family checkpoint directly into the
+    runtime params pytree (no .gten intermediate), quantizing/casting per
+    the dtype policy. Handles tied lm_head (cfg.tie_lm_head or a missing
+    lm_head.weight falls back to the embedding table).
+
+    The reference's only ingestion path is HF -> .gten -> load
+    (tinyllama_to_gten.py); this covers architectures beyond the .gten
+    format's fixed TinyLlama layout (config.py MODEL_REGISTRY).
+    """
+    from tinyllama_tpu.quant.codec import quantize
+
+    sd = _load_hf_state_dict(Path(path))
+    wdt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}.get(
+        policy.wdtype
+    )
+
+    def conv(w: np.ndarray, layout: str):
+        if policy.is_quantized:
+            return quantize(jnp.asarray(w, jnp.float32), policy.wdtype,
+                            layout=layout)
+        return jnp.asarray(w, wdt)
+
+    layers: dict[str, object] = {}
+    # one merged name at a time bounds peak host memory to ~one stack
+    for rname, parts in _HF_LAYER.items():
+        per_layer = []
+        for i in range(cfg.n_layers):
+            arrs = [
+                np.asarray(sd[f"model.layers.{i}.{parts_j}"], np.float32)
+                for parts_j in parts
+            ]
+            per_layer.append(
+                arrs[0] if len(arrs) == 1 else np.concatenate(arrs, axis=0)
+            )
+        stacked = np.stack(per_layer)
+        del per_layer
+        if rname.endswith("norm"):
+            layers[rname] = jnp.asarray(stacked, jnp.float32)
+        else:
+            layers[rname] = conv(stacked, "kn")
+        del stacked
+
+    embed = np.asarray(sd["model.embed_tokens.weight"], np.float32)
+    lm_name = "lm_head.weight"
+    tied = cfg.tie_lm_head or lm_name not in sd
+    lm = embed if tied else np.asarray(sd[lm_name], np.float32)
+    return {
+        "embed": conv(embed, "nk"),
+        "layers": layers,
+        "norm": jnp.asarray(sd["model.norm.weight"], np.float32),
+        "lm_head": conv(lm, "kn"),
+    }
+
+
 def save_gten_checkpoint(
     path: str | Path,
     cfg: ModelConfig,
