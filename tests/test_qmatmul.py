@@ -110,3 +110,24 @@ def test_decode_variant_beats_bf16_dequant_precision():
     err_kernel = np.abs(out - oracle).max()
     err_fb = np.abs(fb - oracle).max()
     assert err_kernel <= err_fb * 1.05, (err_kernel, err_fb)
+
+
+@pytest.mark.parametrize("kind", ["q8", "q4"])
+def test_aq8_activation_quantized_dots(kind):
+    """aq8 quantizes activations per 32-block to int8 (the reference's q8
+    activation scheme) and runs integer dots; error vs the f32 oracle is
+    bounded by the activation quantization step (~1%)."""
+    x, qt = _mk(kind, 4, 512, 256, seed=9)
+    ref = jnp.einsum(
+        "mk,kn->mn", x.astype(jnp.float32), codec.dequantize(qt, jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = qmatmul(x, qt, out_dtype=jnp.float32, aq8=True, interpret=True)
+    scale = float(jnp.abs(ref).max()) + 1e-9
+    rel = float(jnp.abs(out - ref).max()) / scale
+    assert rel < 3e-2, rel
+    # and it must differ from the weight-only path (sanity that the flag
+    # actually switches the math)
+    wo = qmatmul(x, qt, out_dtype=jnp.float32, aq8=False, interpret=True)
+    assert not np.array_equal(np.asarray(out), np.asarray(wo))

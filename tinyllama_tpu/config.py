@@ -138,6 +138,10 @@ class DtypePolicy:
     wdtype: str = "bf16"
     adtype: str = "bf16"
     kv_dtype: str = "bf16"
+    #: quantize matmul activations to per-32-block int8 inside the decode
+    #: kernel (int8 MXU dots) — the reference's q8 activation scheme
+    #: (tinyllama.cpp:258-265). Weight-only quantization stays the default.
+    aq8: bool = False
 
     def __post_init__(self):
         assert self.wdtype in WEIGHT_DTYPES, self.wdtype
@@ -162,6 +166,11 @@ POLICIES: dict[str, DtypePolicy] = {
     # headroom for long context / large batch at ~5% decode cost at b=1.
     "q8-kvi8": DtypePolicy("q8", "bf16", "i8"),
     "q4-kvi8": DtypePolicy("q4", "bf16", "i8"),
+    # activation-quantized variants: int8 MXU decode dots (2x weight-load
+    # rate), activations quantized per 32-block like the reference's q8
+    # activation cache
+    "q8a8": DtypePolicy("q8", "bf16", "bf16", aq8=True),
+    "q4a8": DtypePolicy("q4", "bf16", "bf16", aq8=True),
 }
 
 

@@ -145,6 +145,7 @@ def _block(
     use_pallas: bool,
     layer=None,  # == li iff lp's matmul weights are layer-stacked
     tp_axis: str | None = None,  # shard_map TP: psum after row-parallel mats
+    aq8: bool = False,
 ):
     """One pre-norm transformer block (gten/modules.cpp:224-254).
 
@@ -160,7 +161,7 @@ def _block(
         return jax.lax.psum(y, tp_axis) if tp_axis else y
 
     h = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    qkv = linear(h, lp["wqkv"], use_pallas, layer)
+    qkv = linear(h, lp["wqkv"], use_pallas, layer, aq8)
     q = qkv[..., : H * d].reshape(B, T, H, d)
     k = qkv[..., H * d : (H + Kh) * d].reshape(B, T, Kh, d)
     v = qkv[..., (H + Kh) * d :].reshape(B, T, Kh, d)
@@ -181,15 +182,15 @@ def _block(
         k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
         attn = gqa_attention(q, k_eff, v_eff, q_positions)
     attn = attn.reshape(B, T, H * d).astype(x.dtype)
-    x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer))
+    x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer, aq8))
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    gate_up = linear(h, lp["w_gateup"], use_pallas, layer)
+    gate_up = linear(h, lp["w_gateup"], use_pallas, layer, aq8)
     gate = gate_up[..., : cfg.n_ffn]
     up = gate_up[..., cfg.n_ffn :]
     # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
     ffn = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                 lp["w_down"], use_pallas, layer)
+                 lp["w_down"], use_pallas, layer, aq8)
     return x + _reduce(ffn), cache
 
 
@@ -237,6 +238,7 @@ def forward(
         x, cache = _block(
             cfg, x, lp, cache, li, pos, q_positions, cos, sin,
             use_pallas, layer=li if stacked else None, tp_axis=tp_axis,
+            aq8=policy.aq8,
         )
         return (x, cache), None
 
@@ -251,9 +253,10 @@ def forward(
 
 
 def lm_head_logits(
-    params: Params, hidden: jnp.ndarray, use_pallas: bool = False
+    params: Params, hidden: jnp.ndarray, use_pallas: bool = False,
+    aq8: bool = False,
 ) -> jnp.ndarray:
     """Project hidden rows [B, D] to f32 logits [B, n_vocab]
     (gten/modules.cpp:65-81: lm_head activations are always f32). The
     matmul runs in the activation dtype with f32 accumulation."""
-    return linear_f32_out(hidden, params["lm_head"], use_pallas)
+    return linear_f32_out(hidden, params["lm_head"], use_pallas, aq8)

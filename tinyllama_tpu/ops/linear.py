@@ -60,7 +60,8 @@ def _slice_layer(w: QTensor, layer) -> QTensor:
 
 
 def linear(
-    x: jnp.ndarray, w: Weight, use_pallas: bool = False, layer=None
+    x: jnp.ndarray, w: Weight, use_pallas: bool = False, layer=None,
+    aq8: bool = False,
 ) -> jnp.ndarray:
     """x [..., d_in] @ w[d_out, d_in]^T -> [..., d_out] in x.dtype.
 
@@ -72,7 +73,7 @@ def linear(
         if use_pallas:
             from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
 
-            return qmatmul(x, w, layer=layer)
+            return qmatmul(x, w, layer=layer, aq8=aq8)
         if layer is not None:
             w = _slice_layer(w, layer)
         return _dequant_matmul(x, w).astype(x.dtype)
@@ -85,7 +86,9 @@ def linear(
     ).astype(x.dtype)
 
 
-def linear_f32_out(x: jnp.ndarray, w: Weight, use_pallas: bool = False) -> jnp.ndarray:
+def linear_f32_out(
+    x: jnp.ndarray, w: Weight, use_pallas: bool = False, aq8: bool = False
+) -> jnp.ndarray:
     """Like `linear` but keeps the f32 accumulator as the result dtype.
 
     Used for the lm_head (logits are always f32 in the reference,
@@ -96,7 +99,7 @@ def linear_f32_out(x: jnp.ndarray, w: Weight, use_pallas: bool = False) -> jnp.n
         if use_pallas:
             from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
 
-            return qmatmul(x, w, out_dtype=jnp.float32)
+            return qmatmul(x, w, out_dtype=jnp.float32, aq8=aq8)
         return _dequant_matmul(x, w)
     return jnp.einsum(
         "...k,nk->...n",

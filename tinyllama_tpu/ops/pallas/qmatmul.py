@@ -63,8 +63,15 @@ def _dot(a, b, dims):
     )
 
 
-def _qmm_kernel_smallm(*refs, kind: str, compute_dtype):
-    """Decode variant: integer block dots, scales applied post-MXU."""
+def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
+    """Decode variant: integer block dots, scales applied post-MXU.
+
+    With `aq8`, activations quantize to per-32-block int8 in-register
+    (delta = absmax/127, exactly the reference's q8 activation scheme,
+    ops.h:73-96) and the dots run int8 x int8 -> int32 on the MXU at 2x
+    the bf16 weight-load rate — the decode floor drops to the HBM
+    streaming rate of the packed weights.
+    """
     x_ref, w_ref, s_ref, o_ref = refs[-4:]
     k = pl.program_id(2)
 
@@ -77,35 +84,70 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype):
     bn = s.shape[-1]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
 
+    def block_x(sl):
+        """-> (x block ready for the dot, its per-row scale or None,
+        its per-row block sum for the q4 offset correction)."""
+        xb = x[:, sl]
+        if not aq8:
+            return xb, None, jnp.sum(
+                xb.astype(jnp.float32), axis=1, keepdims=True
+            )
+        xf = xb.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        inv = jnp.where(absmax > 0.0, 127.0 / absmax, 0.0)
+        xq = jnp.round(xf * inv).astype(jnp.int8)
+        rowsum = jnp.sum(xq.astype(jnp.int32), axis=1, keepdims=True)
+        return xq, absmax * (1.0 / 127.0), rowsum
+
+    def scaled(pb, sx):
+        return pb.astype(jnp.float32) * sx if aq8 else pb
+
+    idot = (((1,), (0,)), ((), ()))
+
     if kind == "q8":
         w = w_ref[:]  # [BK, BN] i8
         nblk = w.shape[0] // BLOCK_SIZE
         for b in range(nblk):
-            vb = w[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE].astype(compute_dtype)
-            pb = _dot(x[:, b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE], vb,
-                      ((1,), (0,)))
-            acc += pb * s[b].reshape(1, bn)
+            wb = w[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE]
+            xb, sx, _ = block_x(slice(b * BLOCK_SIZE, (b + 1) * BLOCK_SIZE))
+            if aq8:
+                pb = jax.lax.dot_general(
+                    xb, wb, idot, preferred_element_type=jnp.int32
+                )
+            else:
+                pb = _dot(xb, wb.astype(compute_dtype), ((1,), (0,)))
+            acc += scaled(pb, sx) * s[b].reshape(1, bn)
     else:  # q4 planar nibble groups of KN_GROUP K-rows
         p32 = w_ref[:].astype(jnp.int32)  # [BK//2, BN]
+        idt = jnp.int8 if aq8 else compute_dtype
         half = KN_GROUP // 2  # rows per nibble plane == one 32-block
         for g in range(p32.shape[0] // half):
             rows = p32[g * half:(g + 1) * half]
-            hi = ((rows >> 4) & 0x0F).astype(compute_dtype)
-            lo = (rows & 0x0F).astype(compute_dtype)
-            xh = x[:, g * KN_GROUP:g * KN_GROUP + half]
-            xl = x[:, g * KN_GROUP + half:(g + 1) * KN_GROUP]
-            ph = _dot(xh, hi, ((1,), (0,)))
-            plo = _dot(xl, lo, ((1,), (0,)))
-            # fold the +7 offset out per block:
-            # sum_j x_j*(v_j-7)*s == s*(x.v) - 7*s*blocksum(x)
-            ch = float(Q4_OFFSET) * jnp.sum(
-                xh.astype(jnp.float32), axis=1, keepdims=True
+            hi = ((rows >> 4) & 0x0F).astype(idt)
+            lo = (rows & 0x0F).astype(idt)
+            xh, sxh, sumh = block_x(
+                slice(g * KN_GROUP, g * KN_GROUP + half)
             )
-            cl = float(Q4_OFFSET) * jnp.sum(
-                xl.astype(jnp.float32), axis=1, keepdims=True
+            xl, sxl, suml = block_x(
+                slice(g * KN_GROUP + half, (g + 1) * KN_GROUP)
             )
-            acc += (ph - ch) * s[2 * g].reshape(1, bn)
-            acc += (plo - cl) * s[2 * g + 1].reshape(1, bn)
+            if aq8:
+                ph = jax.lax.dot_general(
+                    xh, hi, idot, preferred_element_type=jnp.int32
+                )
+                plo = jax.lax.dot_general(
+                    xl, lo, idot, preferred_element_type=jnp.int32
+                )
+                # offset correction stays exact in int32
+                ph = (ph - Q4_OFFSET * sumh).astype(jnp.float32) * sxh
+                plo = (plo - Q4_OFFSET * suml).astype(jnp.float32) * sxl
+            else:
+                # fold the +7 offset out per block:
+                # sum_j x_j*(v_j-7)*s == s*(x.v) - 7*s*blocksum(x)
+                ph = _dot(xh, hi, ((1,), (0,))) - float(Q4_OFFSET) * sumh
+                plo = _dot(xl, lo, ((1,), (0,))) - float(Q4_OFFSET) * suml
+            acc += ph * s[2 * g].reshape(1, bn)
+            acc += plo * s[2 * g + 1].reshape(1, bn)
 
     o_ref[:] += acc
 
@@ -175,7 +217,8 @@ def _pick_bk(K: int, bn: int, kind: str) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "out_dtype", "bm", "bn", "interpret")
+    jax.jit,
+    static_argnames=("kind", "out_dtype", "bm", "bn", "aq8", "interpret"),
 )
 def _qmatmul_2d(
     x: jnp.ndarray,  # [M, K] compute dtype
@@ -186,6 +229,7 @@ def _qmatmul_2d(
     out_dtype,
     bm: int,
     bn: int,
+    aq8: bool,
     interpret: bool,
 ) -> jnp.ndarray:
     M, K = x.shape
@@ -196,8 +240,14 @@ def _qmatmul_2d(
     small_m = bm <= _SMALL_M
 
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
-    body = _qmm_kernel_smallm if small_m else _qmm_kernel_bigm
-    kernel = functools.partial(body, kind=kind, compute_dtype=x.dtype)
+    if small_m:
+        kernel = functools.partial(
+            _qmm_kernel_smallm, kind=kind, compute_dtype=x.dtype, aq8=aq8
+        )
+    else:
+        kernel = functools.partial(
+            _qmm_kernel_bigm, kind=kind, compute_dtype=x.dtype
+        )
 
     flops = 2 * M * N * K
     bytes_accessed = (
@@ -269,12 +319,15 @@ def qmatmul(
     layer: jnp.ndarray | None = None,
     bm: int | None = None,
     bn: int | None = None,
+    aq8: bool = False,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """x [..., K] @ dequant(w) -> [..., N] for a "kn"-layout QTensor.
 
     When `layer` (scalar int32) is given, w is layer-stacked ([L, ...])
-    and the kernel reads only layer `layer`'s tiles from HBM.
+    and the kernel reads only layer `layer`'s tiles from HBM. With `aq8`
+    the decode variant quantizes activations to block-int8 and runs int8
+    MXU dots (the reference's q8-activation mode, tinyllama.cpp:258-265).
     out_dtype defaults to x.dtype (linear) — pass jnp.float32 for logits.
     """
     assert w.layout == "kn", "qmatmul requires the K-major kernel layout"
@@ -297,7 +350,7 @@ def qmatmul(
 
     li = None if layer is None else jnp.reshape(layer, (1,)).astype(jnp.int32)
     out = _qmatmul_2d(
-        x2, w.data, w.scales, li, w.kind, out_dtype, bm, bn, interpret
+        x2, w.data, w.scales, li, w.kind, out_dtype, bm, bn, aq8, interpret
     )
     if pad_m:
         out = out[:M]

@@ -135,7 +135,9 @@ class Engine:
             h_last = jnp.take_along_axis(
                 hidden, last[:, None, None].astype(jnp.int32), axis=1
             )[:, 0]
-            logits = llama.lm_head_logits(params, h_last, use_pallas)
+            logits = llama.lm_head_logits(
+                params, h_last, use_pallas, policy.aq8
+            )
             return logits, cache
 
         self._steps[T] = step
@@ -209,7 +211,9 @@ class Engine:
                     cfg, policy, params, tok[:, None], cache, pos,
                     rope_tables, use_pallas,
                 )
-                logits = llama.lm_head_logits(params, hidden[:, 0], use_pallas)
+                logits = llama.lm_head_logits(
+                    params, hidden[:, 0], use_pallas, policy.aq8
+                )
                 return (cache, logits, pos + 1, done, key), tok
 
             B = logits.shape[0]
