@@ -128,19 +128,28 @@ class ContinuousBatcher:
     # ----------------------------------------------------------------- steps
 
     def _admit(self) -> None:
-        for slot in range(self.B):
-            if self.running[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            row_cache = self.engine.new_cache(1)
-            row_logits, row_cache, lens = self.engine.prefill(
-                row_cache, [req.prompt]
+        free = [s for s in range(self.B) if self.running[s] is None]
+        if not free or not self.queue:
+            return
+        # one batched prefill for every admission this round — per-request
+        # prefills each pay a host<->device round-trip (large behind a
+        # tunneled chip) and re-stream the weights per prompt
+        take = min(len(free), len(self.queue))
+        reqs = [self.queue.pop(0) for _ in range(take)]
+        batch_cache = self.engine.new_cache(take)
+        logits, batch_cache, lens = self.engine.prefill(
+            batch_cache, [r.prompt for r in reqs]
+        )
+        for i, (slot, req) in enumerate(zip(free, reqs)):
+            row_cache = jax.tree.map(
+                lambda a: None if a is None else a[:, i : i + 1],
+                batch_cache, is_leaf=lambda a: a is None,
             )
             self.cache, self.logits = _insert_slot(
-                self.cache, self.logits, row_cache, row_logits,
+                self.cache, self.logits, row_cache, logits[i : i + 1],
                 jnp.int32(slot),
             )
-            self.pos = self.pos.at[slot].set(int(lens[0]))
+            self.pos = self.pos.at[slot].set(int(lens[i]))
             self.running[slot] = req
 
     def step(self, stream: Callable[[int, int], None] | None = None) -> None:
