@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "random_device)")
     p.add_argument("--no-perf", action="store_true",
                    help="suppress the performance table")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of generation to DIR "
+                        "(view with tensorboard/xprof)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN, the "
+                        "TPU analog of the reference's GTEN_ASSERT "
+                        "invariant checks)")
     return p
 
 
@@ -100,6 +107,9 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
     import jax
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from tinyllama_tpu.config import (
         GenerationConfig, MODEL_REGISTRY, POLICIES, tiny_test_config,
@@ -189,7 +199,9 @@ def main(argv=None) -> int:
     def run_once(prompt: str) -> None:
         if tokenizer:
             tokens = tokenizer.encode(prompt)
-            prev = [tokens[-1]]
+            # first generated piece decodes with prev=BOS, which strips
+            # its leading sentencepiece space (tinyllama.cpp:431)
+            prev = [1]
 
             def stream(t: int) -> None:
                 piece = tokenizer.decode(prev[0], t)
@@ -203,7 +215,16 @@ def main(argv=None) -> int:
                 sys.stderr.write(f"{t} ")
                 sys.stderr.flush()
 
-        out, stats = engine.generate(tokens, gen, stream=stream)
+        if args.profile:
+            import contextlib
+
+            prof_cm = jax.profiler.trace(args.profile)
+        else:
+            import contextlib
+
+            prof_cm = contextlib.nullcontext()
+        with prof_cm:
+            out, stats = engine.generate(tokens, gen, stream=stream)
         stats.load_s = load_s
         sys.stderr.write("\n")
         if args.greedy and not args.no_perf:
