@@ -166,9 +166,11 @@ POLICIES: dict[str, DtypePolicy] = {
     # headroom for long context / large batch at ~5% decode cost at b=1.
     "q8-kvi8": DtypePolicy("q8", "bf16", "i8"),
     "q4-kvi8": DtypePolicy("q4", "bf16", "i8"),
-    # activation-quantized variants: int8 MXU decode dots (2x weight-load
-    # rate), activations quantized per 32-block like the reference's q8
-    # activation cache
+    # activation-quantized variants: int8 MXU *decode* dots, activations
+    # quantized per 32-block like the reference's q8 activation cache
+    # (prefill keeps bf16 activations — the throughput kernel dequantizes
+    # weight tiles instead). Slower than weight-only at 1.1B shapes; kept
+    # for reference-faithful numerics and larger-model experiments.
     "q8a8": DtypePolicy("q8", "bf16", "bf16", aq8=True),
     "q4a8": DtypePolicy("q4", "bf16", "bf16", aq8=True),
 }
