@@ -235,3 +235,29 @@ class TestEngine:
         gen_eos = GenerationConfig(n_predict=8, greedy=True, eos_token=out[0])
         out2, _ = eng.generate([1, 2], gen_eos)
         assert out2 == []
+
+
+class TestGenerateBatch:
+    def test_matches_single_prompt_generate(self):
+        """Batched lockstep generation must produce each row's tokens
+        identical to generating that prompt alone (f32: bit-stable)."""
+        import jax
+
+        from tinyllama_tpu.config import DtypePolicy, GenerationConfig
+        from tinyllama_tpu.models import llama
+        from tinyllama_tpu.runtime.engine import Engine
+
+        policy = DtypePolicy("f32", "f32", "f32")
+        dense = llama.init_dense_params(CFG, jax.random.PRNGKey(11))
+        params = llama.convert_params(dense, policy)
+        engine = Engine(CFG, policy, params, max_batch=3)
+        gen = GenerationConfig(n_predict=24, greedy=True, eos_token=-1,
+                               chunk_size=8)
+        prompts = [[1, 5, 9], [1, 7, 2, 4], [1, 3]]
+        outs, stats = engine.generate_batch(prompts, gen)
+        assert stats.generated_tokens == sum(len(o) for o in outs)
+        for p, o in zip(prompts, outs):
+            single_engine = Engine(CFG, policy, params, max_batch=1)
+            want, _ = single_engine.generate(p, gen)
+            assert o[: len(want)] == want[: len(o)]
+            assert len(o) > 0

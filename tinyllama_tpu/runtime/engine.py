@@ -291,3 +291,64 @@ class Engine:
         stats.decode_s = time.perf_counter() - t_decode
         stats.generated_tokens = len(out)
         return out, stats
+
+    def generate_batch(
+        self,
+        prompts: list[list[int]],
+        gen: GenerationConfig | None = None,
+    ) -> tuple[list[list[int]], GenStats]:
+        """Offline batched generation: decode all prompts in lockstep.
+
+        One prefill + chunked device decode for the whole batch; rows
+        that hit EOS keep decoding padding on device until every row is
+        done (use runtime/scheduler.py ContinuousBatcher when requests
+        arrive over time or lengths vary wildly).
+        """
+        gen = gen or GenerationConfig()
+        B = len(prompts)
+        stats = GenStats(prompt_tokens=sum(len(p) for p in prompts))
+        key = jax.random.PRNGKey(gen.seed)
+
+        cache = self.new_cache(B)
+        t0 = time.perf_counter()
+        logits, cache, lens = self.prefill(cache, prompts)
+        logits.block_until_ready()
+        stats.prefill_s = time.perf_counter() - t0
+
+        max_new = max(
+            0,
+            min(
+                gen.n_predict - int(lens.min()),
+                self.max_ctx - int(lens.max()),
+            ),
+        )
+        C = max(1, min(gen.chunk_size, max_new)) if max_new else 1
+        chunk = self._chunk_fn(C, gen.greedy, gen.top_k)
+
+        outs: list[list[int]] = [[] for _ in range(B)]
+        finished = [False] * B
+        pos = jnp.asarray(lens, jnp.int32)
+        eos = jnp.int32(gen.eos_token)
+        temp = jnp.float32(gen.temperature)
+
+        t_decode = time.perf_counter()
+        emitted = 0
+        while emitted < max_new and not all(finished):
+            toks, done, logits, cache, pos, key = chunk(
+                self.params, cache, logits, pos, key, eos, temp
+            )
+            toks_np = np.asarray(toks)
+            emitted += toks_np.shape[1]
+            for b in range(B):
+                if finished[b]:
+                    continue
+                for t in toks_np[b]:
+                    t = int(t)
+                    if t == gen.eos_token or len(outs[b]) >= max_new:
+                        finished[b] = True
+                        break
+                    outs[b].append(t)
+
+        stats.decode_s = time.perf_counter() - t_decode
+        stats.generated_tokens = sum(len(o) for o in outs)
+        return outs, stats
