@@ -68,11 +68,13 @@ def _kernel(
         if ks_ref is not None:
             scores = scores * ks_ref[pl.ds(h, 1), :]
 
-        # absolute query position of each flattened (token, group) row
+        # absolute query position of each flattened (token, group) row;
+        # 1-D iotas + a broadcast compare, not two materialized
+        # [BTG, BS] index planes
         t_abs = pos_ref[b] + (
-            row0 + jax.lax.broadcasted_iota(jnp.int32, (BTG, bs), 0)
+            row0 + jax.lax.broadcasted_iota(jnp.int32, (BTG, 1), 0)
         ) // G
-        s_abs = s * bs + jax.lax.broadcasted_iota(jnp.int32, (BTG, bs), 1)
+        s_abs = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         scores = jnp.where(s_abs <= t_abs, scores, NEG_INF)
 
         m_prev = m_ref[:, :1]  # [BTG, 1] (lanes replicated)
