@@ -87,3 +87,34 @@ def test_tp_permute_roundtrips_dequantized_values():
          w[..., D + kv : D + kv + kv // 2]], axis=-1,
     )
     np.testing.assert_array_equal(wp[..., : want.shape[-1]], want)
+
+
+def test_tp_step_runs_pallas_kernels():
+    """The shard_map path must execute the actual Pallas kernels
+    (qmatmul with in-kernel layer indexing + flash attention) per shard —
+    GSPMD cannot partition custom calls, this path is why TP works with
+    them. Interpret mode on the CPU mesh; logits must track the
+    non-Pallas TP step to kernel-precision tolerance."""
+    policy = DtypePolicy("q4", "f32", "f32")
+    dense = llama.init_dense_params(CFG, jax.random.PRNGKey(3), jnp.float32)
+    params = llama.convert_params(dense, policy)
+    ropes = rope_table(CFG.max_ctx, CFG.d_head, CFG.rope_theta)
+    mesh = make_mesh(tp=2, dp=1)
+    tparams = tpmod.tp_permute_params(params, CFG, 2)
+    tparams = tpmod.place(mesh, tparams, tpmod.param_partition_specs(tparams))
+    tokens = jnp.asarray([[2, 3, 4, 5]], jnp.int32)
+    pos = jnp.zeros((1,), jnp.int32)
+    last = jnp.full((1,), 3, jnp.int32)
+
+    outs = {}
+    for use_pallas in (False, True):
+        cache = init_cache(CFG, 1, policy.kv_dtype)
+        cache = tpmod.place(mesh, cache, tpmod.cache_partition_specs(cache))
+        step = tpmod.make_tp_step(
+            CFG, policy, mesh, ropes, use_pallas, tparams, cache
+        )
+        logits, _ = step(tparams, cache, tokens, pos, last)
+        outs[use_pallas] = np.asarray(logits)
+        assert np.isfinite(outs[use_pallas]).all()
+    scale = np.abs(outs[False]).max() + 1e-9
+    assert np.abs(outs[True] - outs[False]).max() / scale < 2e-2
