@@ -179,7 +179,7 @@ def make_tp_step(
         h_last = jnp.take_along_axis(
             hidden, last[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
-        logits = llama.lm_head_logits(params, h_last, use_pallas)
+        logits = llama.lm_head_logits(params, h_last, use_pallas, policy.aq8)
         return logits, cache
 
     fn = shard_map(

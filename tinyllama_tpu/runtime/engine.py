@@ -250,7 +250,11 @@ class Engine:
 
         max_new = max(0, min(gen.n_predict - len(prompt_tokens),
                              self.max_ctx - len(prompt_tokens)))
-        C = max(1, min(gen.chunk_size, max_new)) if max_new else 1
+        if not max_new:
+            # prompt already fills n_predict / max_ctx (reference loop runs
+            # zero iterations, tinyllama.cpp:456): skip decode entirely
+            return [], stats
+        C = max(1, min(gen.chunk_size, max_new))
         chunk = self._chunk_fn(C, gen.greedy, gen.top_k)
 
         out: list[int] = []
@@ -315,18 +319,19 @@ class Engine:
         logits.block_until_ready()
         stats.prefill_s = time.perf_counter() - t0
 
-        max_new = max(
-            0,
-            min(
-                gen.n_predict - int(lens.min()),
-                self.max_ctx - int(lens.max()),
-            ),
-        )
-        C = max(1, min(gen.chunk_size, max_new)) if max_new else 1
+        # per-row budget, matching the reference loop semantics per row
+        # (max_iters = n_predict - tokens.size(), tinyllama.cpp:450)
+        budgets = [
+            max(0, min(gen.n_predict, self.max_ctx) - int(l)) for l in lens
+        ]
+        max_new = max(budgets, default=0)
+        if not max_new:
+            return [[] for _ in range(B)], stats
+        C = max(1, min(gen.chunk_size, max_new))
         chunk = self._chunk_fn(C, gen.greedy, gen.top_k)
 
         outs: list[list[int]] = [[] for _ in range(B)]
-        finished = [False] * B
+        finished = [b == 0 for b in budgets]
         pos = jnp.asarray(lens, jnp.int32)
         eos = jnp.int32(gen.eos_token)
         temp = jnp.float32(gen.temperature)
@@ -344,7 +349,7 @@ class Engine:
                     continue
                 for t in toks_np[b]:
                     t = int(t)
-                    if t == gen.eos_token or len(outs[b]) >= max_new:
+                    if t == gen.eos_token or len(outs[b]) >= budgets[b]:
                         finished[b] = True
                         break
                     outs[b].append(t)

@@ -27,6 +27,25 @@ HBM_BW = {
 }
 
 
+#: approximate peak bf16 MXU throughput per chip, FLOP/s (for MFU context)
+PEAK_FLOPS = {
+    "TPU v5 lite": 394e12,  # v5e bf16
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def detect_peak_flops() -> float | None:
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    for prefix, f in PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return f
+    return None
+
+
 def detect_hbm_bw() -> float | None:
     try:
         kind = jax.devices()[0].device_kind

@@ -44,7 +44,7 @@ def window_nll(cfg, policy, params, ids, window: int, use_pallas: bool):
             cfg, policy, params, tokens[:, :-1], cache,
             jnp.zeros((1,), jnp.int32), ropes, use_pallas,
         )
-        logits = llama.lm_head_logits(params, hidden[0], use_pallas)
+        logits = llama.lm_head_logits(params, hidden[0], use_pallas, policy.aq8)
         logp = jax.nn.log_softmax(logits, axis=-1)
         # clip so tiny-vocab smoke configs don't hit the NaN fill of OOB
         # gathers; real vocabs never clip
@@ -126,7 +126,17 @@ def main(argv=None) -> int:
 
             p = Path(args.ckpt)
             if p.suffix == ".gten":
-                params, policy = load_gten_checkpoint(p, cfg, policy)
+                try:
+                    params, policy = load_gten_checkpoint(p, cfg, policy)
+                except ValueError:
+                    # fp16 .gten + quantized policy: the loader has no
+                    # re-quantization path, so load dense once and
+                    # quantize per compared policy
+                    if dense is None:
+                        dense, _ = load_gten_checkpoint(
+                            p, cfg, POLICIES["f32"]
+                        )
+                    params = llama.convert_params(dense, policy)
             else:
                 params = load_hf_checkpoint(p, cfg, policy)
         use_pallas = jax.default_backend() == "tpu" and policy.is_quantized

@@ -1,0 +1,259 @@
+"""Kernel microbenchmark harness: device-time per variant from traces.
+
+Measures Pallas kernel variants at real model shapes by running each
+under jax.profiler.trace inside a lax.scan loop (optimization_barrier
+between iterations so XLA cannot CSE the calls) and summing the device
+events that match the kernel's name. Wall-clock per-op timing through
+the axon tunnel measures dispatch (~20-40ms RTT), never device time —
+this is the only reliable way to compare kernels on this box.
+
+Usage:
+    python tools/kbench.py --bench qmatmul --kind q4 --iters 50
+    python tools/kbench.py --bench probe        # int4/bitcast support probes
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+#: TinyLlama-1.1B decode matmul shapes (K, N)
+SHAPES = {
+    "wqkv": (2048, 2560),
+    "wo": (2048, 2048),
+    "w_gateup": (2048, 11264),
+    "w_down": (5632, 2048),
+    "lm_head": (2048, 32003),
+}
+
+
+def device_time_us(fn, match: str | None = None, exclude=()):
+    """Run fn() under the profiler; return {name: total_us} of device ops
+    (optionally filtered to names containing `match`)."""
+    from tinyllama_tpu.runtime import trace
+
+    events = trace.profile_device_events(fn)
+    out = {}
+    for ev in events:
+        if match and match not in ev.name:
+            continue
+        if any(x in ev.name for x in exclude):
+            continue
+        out[ev.name] = out.get(ev.name, 0.0) + ev.dur_us
+    return out
+
+
+def loop_fn(f, x, iters):
+    """Returns g() that executes f(x) `iters` times on device, serialized
+    via optimization_barrier (defeats CSE), blocking on the result."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x):
+        def body(c, _):
+            c = jax.lax.optimization_barrier(c)
+            out = f(c)
+            return c, out.ravel()[0]
+
+        _, outs = jax.lax.scan(body, x, length=iters)
+        return outs
+
+    run(x).block_until_ready()  # compile + warm
+
+    def g():
+        run(x).block_until_ready()
+
+    return g
+
+
+def bench_qmatmul(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.quant.codec import quantize
+    from tinyllama_tpu.ops.pallas.qmatmul import qmatmul
+
+    key = jax.random.PRNGKey(0)
+    total = {}
+    for name, (K, N) in SHAPES.items():
+        if args.shape and name != args.shape:
+            continue
+        kw, kx = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        w = quantize(
+            jax.random.normal(kw, (N, K), jnp.float32) * 0.02,
+            args.kind, layout="kn",
+        )
+        x = (jax.random.normal(kx, (args.m, K), jnp.float32) * 0.5).astype(
+            jnp.bfloat16
+        )
+
+        f = lambda x, w=w: qmatmul(
+            x, w, out_dtype=jnp.bfloat16, aq8=args.aq8
+        )
+        g = loop_fn(f, x, args.iters)
+        times = device_time_us(g)
+        kern_us = sum(v for k, v in times.items()
+                      if "qmm" in k or "matmul" in k or "fusion" in k)
+        per_call = kern_us / args.iters
+        data_bytes = w.data.nbytes + w.scales.nbytes
+        gbs = data_bytes / (per_call * 1e-6) / 1e9
+        total[name] = per_call
+        print(f"{name:>9} K={K:<5} N={N:<5}: {per_call:8.2f} us/call  "
+              f"{gbs:7.1f} GB/s  (stream floor "
+              f"{data_bytes / 819e9 * 1e6:6.2f} us)")
+        if args.verbose:
+            for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+                print(f"     {v / args.iters:9.2f} us  {k[:70]}")
+    layer_us = sum(v for k, v in total.items() if k != "lm_head")
+    if len(total) == len(SHAPES):
+        print(f"\nper-token matmul time: 22*{layer_us:.1f} + "
+              f"{total['lm_head']:.1f} = "
+              f"{22 * layer_us + total['lm_head']:.1f} us")
+    return 0
+
+
+def bench_probe(args) -> int:
+    """Feature probes: which unpack strategies does this stack support?"""
+    import jax
+    import jax.numpy as jnp
+
+    print("backend:", jax.default_backend(), jax.devices()[0].device_kind)
+
+    # --- probe 1: on-device int4 arrays (cast on device; no host transfer)
+    try:
+        a8 = jnp.arange(-8, 8, dtype=jnp.int8).reshape(4, 4)
+        a4 = jax.jit(lambda x: x.astype(jnp.int4))(a8)
+        back = jax.jit(lambda x: x.astype(jnp.int8))(a4)
+        ok = bool(jnp.all(back == a8))
+        print(f"probe int4-device-cast: OK roundtrip={ok}")
+    except Exception as e:  # noqa: BLE001
+        print(f"probe int4-device-cast: FAIL {type(e).__name__}: {e}")
+
+    # --- probe 2: Pallas kernel with an int4 input ref
+    try:
+        from jax.experimental import pallas as pl
+
+        def k4(w_ref, o_ref):
+            o_ref[:] = w_ref[:].astype(jnp.bfloat16) * 2.0
+
+        @jax.jit
+        def run(w8):
+            w4 = w8.astype(jnp.int4)
+            return pl.pallas_call(
+                k4,
+                out_shape=jax.ShapeDtypeStruct((256, 256), jnp.bfloat16),
+            )(w4)
+
+        w8 = jnp.clip(
+            jax.random.randint(jax.random.PRNGKey(0), (256, 256), -8, 8),
+            -8, 7,
+        ).astype(jnp.int8)
+        out = run(w8)
+        ok = bool(jnp.all(out == w8.astype(jnp.bfloat16) * 2.0))
+        print(f"probe pallas-int4-ref: OK correct={ok}")
+    except Exception as e:  # noqa: BLE001
+        print(f"probe pallas-int4-ref: FAIL {type(e).__name__}: {e}")
+
+    # --- probe 3: in-kernel bitcast i8[2k, n] -> i32[k/2, n]
+    try:
+        from jax.experimental import pallas as pl
+
+        def kb(w_ref, o_ref):
+            w = w_ref[:]
+            w32 = jax.lax.bitcast_convert_type(
+                w.reshape(w.shape[0] // 4, 4, w.shape[1]).swapaxes(1, 2),
+                jnp.int32,
+            )
+            o_ref[:] = (w32 & 0xF).astype(jnp.bfloat16).swapaxes(1, 2)[
+                :, 0, :
+            ]
+
+        @jax.jit
+        def runb(w8):
+            return pl.pallas_call(
+                kb, out_shape=jax.ShapeDtypeStruct((64, 256), jnp.bfloat16)
+            )(w8)
+
+        w8 = jnp.ones((256, 256), jnp.int8)
+        print("probe pallas-bitcast-i8-i32: OK", runb(w8).shape)
+    except Exception as e:  # noqa: BLE001
+        print(f"probe pallas-bitcast-i8-i32: FAIL {type(e).__name__}: {e}")
+
+    # --- probe 4: integer dot_general with i32 operands in a kernel
+    try:
+        from jax.experimental import pallas as pl
+
+        def ki(x_ref, w_ref, o_ref):
+            x = x_ref[:].astype(jnp.int32)
+            w = w_ref[:].astype(jnp.int32)
+            o_ref[:] = jax.lax.dot_general(
+                x, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+
+        @jax.jit
+        def runi(x8, w8):
+            return pl.pallas_call(
+                ki, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32)
+            )(x8, w8)
+
+        x8 = jnp.ones((8, 512), jnp.int8)
+        w8 = jnp.ones((512, 256), jnp.int8)
+        out = runi(x8, w8)
+        print("probe pallas-i32-dot: OK", float(out[0, 0]))
+    except Exception as e:  # noqa: BLE001
+        print(f"probe pallas-i32-dot: FAIL {type(e).__name__}: {e}")
+
+    # --- probe 5: int8 x int8 -> int32 dot (known-good reference point)
+    try:
+        from jax.experimental import pallas as pl
+
+        def k8(x_ref, w_ref, o_ref):
+            o_ref[:] = jax.lax.dot_general(
+                x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+
+        @jax.jit
+        def run8(x8, w8):
+            return pl.pallas_call(
+                k8, out_shape=jax.ShapeDtypeStruct((8, 256), jnp.float32)
+            )(x8, w8)
+
+        out = run8(jnp.ones((8, 512), jnp.int8), jnp.ones((512, 256), jnp.int8))
+        print("probe pallas-i8-dot: OK", float(out[0, 0]))
+    except Exception as e:  # noqa: BLE001
+        print(f"probe pallas-i8-dot: FAIL {type(e).__name__}: {e}")
+
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--bench", default="qmatmul",
+                    choices=("qmatmul", "probe"))
+    ap.add_argument("--kind", default="q4", choices=("q4", "q8"))
+    ap.add_argument("--m", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--aq8", action="store_true")
+    ap.add_argument("--shape", default=None)
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.bench == "probe":
+        return bench_probe(args)
+    return bench_qmatmul(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
