@@ -234,10 +234,164 @@ def bench_probe(args) -> int:
     return 0
 
 
+def bench_i4(args) -> int:
+    """Experimental native-int4 small-m matmul kernel vs the current one.
+
+    Weights live as signed s4 [-7, 7] (the reference's offset-7 values
+    minus 7, exactly representable), so there is no offset correction and
+    the i4->bf16 convert replaces the shift/mask nibble unpack. Tests:
+      a. S4 arrays as jit arguments (axon transfer/layout feasibility)
+      b. kernel device time at model shapes vs the packed-i8 kernel
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tinyllama_tpu.quant.codec import BLOCK_SIZE
+
+    def kernel(x_ref, w_ref, s_ref, o_ref, *, blockwise):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        x = x_ref[:]
+        s = s_ref[:]  # [bk//32, bn] f32
+        w = w_ref[:]  # [bk, bn] int4
+        bk, bn = w.shape
+        if blockwise:
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            for b in range(bk // BLOCK_SIZE):
+                wb = w[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE].astype(x.dtype)
+                xb = x[:, b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE]
+                pb = jax.lax.dot_general(
+                    xb, wb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += pb * s[b].reshape(1, bn)
+            o_ref[:] += acc
+        else:
+            wf = w.astype(jnp.float32).reshape(
+                bk // BLOCK_SIZE, BLOCK_SIZE, bn
+            )
+            wd = (wf * s.reshape(bk // BLOCK_SIZE, 1, bn)).reshape(
+                bk, bn
+            ).astype(x.dtype)
+            o_ref[:] += jax.lax.dot_general(
+                x, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    def qmm_i4(x, w4, scales, bm, bn, bk, blockwise):
+        M, K = x.shape
+        N = w4.shape[-1]
+        grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
+        return pl.pallas_call(
+            functools.partial(kernel, blockwise=blockwise),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+                pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+                pl.BlockSpec((bk // BLOCK_SIZE, bn), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=K * N // 2 + K // 32 * N * 4,
+                transcendentals=0,
+            ),
+        )(x, w4, scales)
+
+    key = jax.random.PRNGKey(0)
+
+    def pack_nibbles(vals8):
+        """int8 [-7,7] [K, N] -> packed int8 [K, N//2], lo-nibble-first so
+        lax.bitcast_convert_type(., int4).reshape(K, N) round-trips."""
+        lo = vals8[:, 0::2].astype(jnp.int32) & 0xF
+        hi = vals8[:, 1::2].astype(jnp.int32) & 0xF
+        return ((hi << 4) | lo).astype(jnp.int8)
+
+    def make_s4(vals8, how: str):
+        K, N = vals8.shape
+        packed = pack_nibbles(vals8)
+        if how == "bitcast-eager":
+            return jax.lax.bitcast_convert_type(packed, jnp.int4).reshape(
+                K, N
+            )
+        if how == "astype":
+            return jax.jit(lambda v: v.astype(jnp.int4))(vals8)
+        raise ValueError(how)
+
+    for name, (K, N) in SHAPES.items():
+        if args.shape and name != args.shape:
+            continue
+        kw, kx = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        N += N % 2  # nibble pairs pack along N; pad odd vocab dims
+        vals8 = jnp.clip(
+            jax.random.randint(kw, (K, N), -7, 8), -7, 7
+        ).astype(jnp.int8)
+        scales = jnp.abs(jax.random.normal(kx, (K // 32, N))) * 0.01 + 0.001
+        x = (jax.random.normal(kx, (args.m, K), jnp.float32) * 0.5).astype(
+            jnp.bfloat16
+        )
+        bn = min(2048, (N + 127) // 128 * 128)
+        denom = 2
+        bk = 0
+        for cand in range(256, K + 1, 256):
+            if K % cand == 0 and (cand // denom) * bn <= 1024 * 1024:
+                bk = cand
+        bk = bk or K
+
+        # packed int8 [K, N//2] lives in params; the S4 view is created
+        # inside the jit (S4 cannot cross the jit boundary under axon)
+        packed = jax.block_until_ready(pack_nibbles(vals8))
+        for blockwise in (True, False):
+            try:
+                def f(x, packed=packed, s=scales, bw=blockwise):
+                    w4 = jax.lax.bitcast_convert_type(
+                        packed, jnp.int4
+                    ).reshape(K, N)
+                    return qmm_i4(x, w4, s, args.m, bn, bk, bw).astype(
+                        jnp.bfloat16
+                    )
+
+                g = loop_fn(f, x, args.iters)
+                times = device_time_us(g)
+                # the loop body is one pallas call (+ scan noise): take the
+                # single largest device op as the kernel
+                kern_us = max(times.values(), default=0.0)
+                other_us = sum(times.values()) - kern_us
+                per_call = max(kern_us, 1e-9) / args.iters
+                data_bytes = K * N // 2 + K // 32 * N * 4
+                print(f"{name:>9} K={K:<5} N={N:<5} "
+                      f"{'blockdot' if blockwise else 'tiledeq'}: "
+                      f"{per_call:8.2f} us/call  "
+                      f"{data_bytes / (per_call * 1e-6) / 1e9:7.1f} GB/s "
+                      f"(floor {data_bytes / 819e9 * 1e6:6.2f} us) "
+                      f"[other {other_us / args.iters:6.2f} us/call]",
+                      flush=True)
+                if args.verbose:
+                    for k2, v in sorted(times.items(), key=lambda kv: -kv[1]):
+                        print(f"     {v / args.iters:9.2f} us  {k2[:70]}")
+            except Exception as e:  # noqa: BLE001
+                print(f"{name:>9} {'blockdot' if blockwise else 'tiledeq'}: "
+                      f"FAIL {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:140]}", flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--bench", default="qmatmul",
-                    choices=("qmatmul", "probe"))
+                    choices=("qmatmul", "probe", "i4"))
     ap.add_argument("--kind", default="q4", choices=("q4", "q8"))
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--iters", type=int, default=50)
@@ -252,6 +406,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.bench == "probe":
         return bench_probe(args)
+    if args.bench == "i4":
+        return bench_i4(args)
     return bench_qmatmul(args)
 
 
