@@ -118,3 +118,47 @@ def test_tp_step_runs_pallas_kernels():
         assert np.isfinite(outs[use_pallas]).all()
     scale = np.abs(outs[False]).max() + 1e-9
     assert np.abs(outs[True] - outs[False]).max() / scale < 2e-2
+
+
+@pytest.mark.parametrize("kv_dtype", ["f32", "i8"])
+def test_engine_tp_generate_matches_single(kv_dtype):
+    """Engine(tp=2) must emit the same greedy tokens as Engine(tp=1) —
+    the CLI's --tp path end-to-end (prefill, chunked decode, sampling)."""
+    from tinyllama_tpu.config import GenerationConfig
+    from tinyllama_tpu.runtime.engine import Engine
+
+    policy = DtypePolicy("q8", "f32", kv_dtype)
+    dense = llama.init_dense_params(CFG, jax.random.PRNGKey(5), jnp.float32)
+    params = llama.convert_params(dense, policy)
+    gen = GenerationConfig(n_predict=24, greedy=True, eos_token=-2,
+                           chunk_size=4)
+    prompt = list(range(2, 12))
+
+    single = Engine(CFG, policy, params, use_pallas=False)
+    want, _ = single.generate(prompt, gen)
+
+    eng = Engine(CFG, policy, params, tp=2, mesh=make_mesh(tp=2, dp=1),
+                 use_pallas=False)
+    got, _ = eng.generate(prompt, gen)
+    assert want and got == want
+
+
+def test_engine_tp_generate_batch():
+    """Batched decode through the TP chunk (dp=1 mesh, B=3 rows)."""
+    from tinyllama_tpu.config import GenerationConfig
+    from tinyllama_tpu.runtime.engine import Engine
+
+    policy = DtypePolicy("q4", "f32", "f32")
+    dense = llama.init_dense_params(CFG, jax.random.PRNGKey(6), jnp.float32)
+    params = llama.convert_params(dense, policy)
+    gen = GenerationConfig(n_predict=16, greedy=True, eos_token=-2,
+                           chunk_size=4)
+    prompts = [list(range(2, 8)), list(range(3, 13)), [7, 8, 9]]
+
+    single = Engine(CFG, policy, params, max_batch=3, use_pallas=False)
+    want, _ = single.generate_batch(prompts, gen)
+
+    eng = Engine(CFG, policy, params, max_batch=3, tp=4,
+                 mesh=make_mesh(tp=4, dp=1), use_pallas=False)
+    got, _ = eng.generate_batch(prompts, gen)
+    assert got == want

@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="context window override")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (shards weights/KV on a mesh)")
+    p.add_argument("--tp-mode", default="shard_map",
+                   choices=("shard_map", "gspmd"),
+                   help="TP execution path: shard_map (explicit collectives; "
+                        "runs the Pallas kernels per shard — the production "
+                        "path) or gspmd (NamedSharding + jit; XLA fallback "
+                        "ops only). [default=shard_map]")
     p.add_argument("--random-weights", action="store_true",
                    help="random-initialized weights (no checkpoint; smoke runs)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
@@ -164,8 +170,9 @@ def main(argv=None) -> int:
         params, policy = load_gten_checkpoint(Path(ckpt), cfg, policy)
     load_s = time.perf_counter() - load_t0
 
-    mesh = shardings = cache_sharding = None
-    if args.tp > 1:
+    shardings = cache_sharding = None
+    tp = 1
+    if args.tp > 1 and args.tp_mode == "gspmd":
         from tinyllama_tpu.parallel.mesh import make_mesh
         from tinyllama_tpu.parallel.sharding import (
             cache_sharding as mk_cache_sharding, param_sharding,
@@ -174,12 +181,15 @@ def main(argv=None) -> int:
         mesh = make_mesh(tp=args.tp)
         shardings = param_sharding(mesh, params)
         cache_sharding = mk_cache_sharding(mesh, cfg)
+    elif args.tp > 1:
+        tp = args.tp
 
     engine = Engine(
         cfg, policy, params,
         max_ctx=args.max_ctx,
         param_sharding=shardings,
         cache_sharding=cache_sharding,
+        tp=tp,
     )
 
     tok_path = args.tokenizer or (

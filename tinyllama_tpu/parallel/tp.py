@@ -130,14 +130,20 @@ def param_partition_specs(params: llama.Params) -> "llama.Params":
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def cache_partition_specs(cache: KVCache) -> KVCache:
+def cache_specs(quantized: bool) -> KVCache:
+    """PartitionSpec pytree for a KVCache: kv-heads on "model", batch on
+    "data" (`quantized` = int8 cache with scale planes)."""
     kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
     sc = P(None, DATA_AXIS, MODEL_AXIS, None)
     return KVCache(
         k=kv, v=kv,
-        k_scale=None if cache.k_scale is None else sc,
-        v_scale=None if cache.v_scale is None else sc,
+        k_scale=sc if quantized else None,
+        v_scale=sc if quantized else None,
     )
+
+
+def cache_partition_specs(cache: KVCache) -> KVCache:
+    return cache_specs(cache.k_scale is not None)
 
 
 def place(mesh: Mesh, tree, specs):

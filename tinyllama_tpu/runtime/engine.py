@@ -72,8 +72,16 @@ def _bucket(n: int, max_ctx: int, minimum: int = 16) -> int:
 class Engine:
     """Single-program inference engine over one model + dtype policy.
 
-    `shardings` (parallel/sharding.py) may place params/cache on a mesh;
-    the engine itself is mesh-agnostic — jit partitions the same program.
+    Two multi-chip modes:
+
+    * ``tp > 1`` — the production tensor-parallel path (parallel/tp.py):
+      params are permuted shard-major, placed on a (data, model) mesh,
+      and every compiled step/chunk runs under shard_map with explicit
+      collectives, so the Pallas kernels execute per shard (GSPMD cannot
+      partition a custom call).
+    * ``param_sharding``/``cache_sharding`` (parallel/sharding.py) —
+      GSPMD NamedShardings for the dense/XLA fallback path; jit
+      partitions the same single-chip program.
     """
 
     def __init__(
@@ -86,6 +94,8 @@ class Engine:
         use_pallas: bool | None = None,
         param_sharding=None,
         cache_sharding=None,
+        tp: int = 1,
+        mesh=None,
     ):
         self.cfg = cfg
         self.policy = policy
@@ -97,8 +107,24 @@ class Engine:
         self.use_pallas = use_pallas
         self.rope_tables = rope_table(self.max_ctx, cfg.d_head, cfg.rope_theta)
         self.cache_sharding = cache_sharding
-        if param_sharding is not None:
+        self.tp = tp
+        self.mesh = mesh
+        if tp > 1:
+            from tinyllama_tpu.parallel import tp as tpmod
+            from tinyllama_tpu.parallel.mesh import make_mesh
+
+            if self.mesh is None:
+                self.mesh = make_mesh(tp=tp)
+            self.params = tpmod.tp_permute_params(self.params, cfg, tp)
+            self._pspecs = tpmod.param_partition_specs(self.params)
+            self.params = tpmod.place(self.mesh, self.params, self._pspecs)
+            self._cspecs = tpmod.cache_specs(policy.kv_dtype == "i8")
+            self._fwd_cfg = tpmod.local_config(cfg, tp)
+        elif param_sharding is not None:
             self.params = jax.device_put(self.params, param_sharding)
+            self._fwd_cfg = cfg
+        else:
+            self._fwd_cfg = cfg
         self._steps: dict[int, Callable] = {}
         self._chunks: dict[tuple, Callable] = {}
 
@@ -108,6 +134,10 @@ class Engine:
         cache = init_cache(
             self.cfg, batch or self.max_batch, self.policy.kv_dtype, self.max_ctx
         )
+        if self.tp > 1:
+            from tinyllama_tpu.parallel import tp as tpmod
+
+            return tpmod.place(self.mesh, cache, self._cspecs)
         if self.cache_sharding is not None:
             if hasattr(self.cache_sharding, "apply"):
                 cache = self.cache_sharding.apply(cache)
@@ -117,19 +147,55 @@ class Engine:
 
     # ------------------------------------------------------------------ steps
 
+    def _shard_wrap(self, fn, in_specs, out_specs):
+        """Wrap a local-program fn in shard_map on the engine's TP mesh.
+
+        In the spec tuples, the strings "params"/"cache" stand for the
+        engine's param/cache PartitionSpec pytrees, "batch" for a
+        leading-batch-dim array sharded on the data axis, and "scalar"
+        for a replicated operand.
+        """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tinyllama_tpu.parallel.mesh import DATA_AXIS
+
+        named = {
+            "params": self._pspecs,
+            "cache": self._cspecs,
+            "batch": P(DATA_AXIS),
+            "scalar": P(),
+        }
+        return shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=tuple(named[s] for s in in_specs),
+            out_specs=tuple(named[s] for s in out_specs),
+            check_vma=False,
+        )
+
+    @property
+    def _tp_axis(self):
+        if self.tp > 1:
+            from tinyllama_tpu.parallel.mesh import MODEL_AXIS
+
+            return MODEL_AXIS
+        return None
+
     def _step_fn(self, T: int) -> Callable:
         """Compiled (params, cache, tokens[B,T], pos[B], last[B]) ->
         (logits[B,V] f32, cache). Cache buffers are donated."""
         if T in self._steps:
             return self._steps[T]
 
-        cfg, policy, use_pallas = self.cfg, self.policy, self.use_pallas
+        cfg, policy, use_pallas = self._fwd_cfg, self.policy, self.use_pallas
         rope_tables = self.rope_tables
+        tp_axis = self._tp_axis
 
-        @partial(jax.jit, donate_argnums=(1,))
         def step(params, cache, tokens, pos, last):
             hidden, cache = llama.forward(
-                cfg, policy, params, tokens, cache, pos, rope_tables, use_pallas
+                cfg, policy, params, tokens, cache, pos, rope_tables,
+                use_pallas, tp_axis=tp_axis,
             )
             # gather the last valid hidden row per sequence: [B, D]
             h_last = jnp.take_along_axis(
@@ -140,6 +206,13 @@ class Engine:
             )
             return logits, cache
 
+        if self.tp > 1:
+            step = self._shard_wrap(
+                step,
+                in_specs=("params", "cache", "batch", "batch", "batch"),
+                out_specs=("batch", "cache"),
+            )
+        step = jax.jit(step, donate_argnums=(1,))
         self._steps[T] = step
         return step
 
@@ -191,10 +264,10 @@ class Engine:
         if sig in self._chunks:
             return self._chunks[sig]
 
-        cfg, policy, use_pallas = self.cfg, self.policy, self.use_pallas
+        cfg, policy, use_pallas = self._fwd_cfg, self.policy, self.use_pallas
         rope_tables = self.rope_tables
+        tp_axis = self._tp_axis
 
-        @partial(jax.jit, donate_argnums=(1,))
         def chunk(params, cache, logits, pos, key, eos, temperature):
             def body(carry, _):
                 cache, logits, pos, done, key = carry
@@ -209,7 +282,7 @@ class Engine:
                 done = done | (tok == eos)
                 hidden, cache = llama.forward(
                     cfg, policy, params, tok[:, None], cache, pos,
-                    rope_tables, use_pallas,
+                    rope_tables, use_pallas, tp_axis=tp_axis,
                 )
                 logits = llama.lm_head_logits(
                     params, hidden[:, 0], use_pallas, policy.aq8
@@ -223,6 +296,15 @@ class Engine:
             )
             return toks.T, done, logits, cache, pos, key
 
+        if self.tp > 1:
+            chunk = self._shard_wrap(
+                chunk,
+                in_specs=("params", "cache", "batch", "batch", "scalar",
+                          "scalar", "scalar"),
+                out_specs=("batch", "batch", "batch", "cache", "batch",
+                           "scalar"),
+            )
+        chunk = jax.jit(chunk, donate_argnums=(1,))
         self._chunks[sig] = chunk
         return chunk
 

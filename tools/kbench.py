@@ -388,10 +388,240 @@ def bench_i4(args) -> int:
     return 0
 
 
+def bench_sweep(args) -> int:
+    """Variant x tile sweep for the q4 small-m decode kernel.
+
+    Variants:
+      stream    same grid/BlockSpecs, near-zero compute — the DMA/pipeline
+                ceiling for that tiling (Pallas DMAs whole blocks no matter
+                what the kernel reads)
+      cur       the production blockdot body (int32 nibble unpack)
+      i8shift   nibble unpack on int8 directly (no int32 convert)
+      dq        tile-dequant body (bigm style) at small m
+    Tiles: --bn / --bk accept comma lists; 0 = auto (production pick).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tinyllama_tpu.quant.codec import BLOCK_SIZE, KN_GROUP, Q4_OFFSET, quantize
+    from tinyllama_tpu.ops.pallas.qmatmul import _pick_bk, _pick_bn
+
+    def body(x_ref, w_ref, s_ref, o_ref, *, variant):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        if variant == "stream":
+            # touch each operand minimally; blocks were DMAd regardless
+            o_ref[:] += (
+                jnp.sum(w_ref[:8, :].astype(jnp.float32), axis=0,
+                        keepdims=True)
+                + s_ref[:1, :] + jnp.sum(x_ref[:], axis=1, keepdims=True)
+            )
+            return
+
+        if variant == "dotsraw":
+            # q8-equivalent work on the packed tile: one cast per byte,
+            # one depth-32 dot + scale-apply per 32-row block — no nibble
+            # unpack. Isolates the unpack's marginal cost vs "cur".
+            p = w_ref[:]
+            x = x_ref[:]
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            bn = s_ref.shape[-1]
+            for g in range(p.shape[0] // 32):
+                rows = p[g * 32:(g + 1) * 32].astype(x.dtype)
+                xb = x[:, g * 32:(g + 1) * 32]
+                pb = jax.lax.dot_general(
+                    xb, rows, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += pb * s_ref[g].reshape(1, bn)
+            o_ref[:] += acc
+            return
+
+        if variant == "unpackonly":
+            # nibble unpack + one add per value, no dots: the VPU cost
+            p32 = w_ref[:].astype(jnp.int32)
+            bn = p32.shape[-1]
+            half = KN_GROUP // 2
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            for g in range(p32.shape[0] // half):
+                rows = p32[g * half:(g + 1) * half]
+                hi = ((rows >> 4) & 0x0F).astype(jnp.float32)
+                lo = (rows & 0x0F).astype(jnp.float32)
+                acc += (hi + lo).reshape(half // 8, 8, bn).sum(0)
+            o_ref[:] += acc
+            return
+
+        if variant == "overlap":
+            # heavy compute that does NOT read the weight tile (beyond a
+            # token touch): if the pipeline overlaps DMA with compute this
+            # costs ~max(DMA, compute); if it serializes, DMA + compute
+            x = x_ref[:]
+            bn = o_ref.shape[1]
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            for i in range(16):
+                xb = x[:, i * 32:(i + 1) * 32]
+                wfake = jnp.broadcast_to(
+                    xb[:1].reshape(32, 1), (32, bn)
+                ).astype(x.dtype)
+                acc += jax.lax.dot_general(
+                    xb, wfake, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            o_ref[:] += acc + w_ref[:1, :].astype(jnp.float32)
+            return
+
+        x = x_ref[:]
+        s = s_ref[:]
+        bn = s.shape[-1]
+        acc = jnp.zeros(o_ref.shape, jnp.float32)
+        half = KN_GROUP // 2
+
+        if variant == "dq":
+            w32 = w_ref[:].astype(jnp.int32)
+            bk = w32.shape[0] * 2
+            g3 = w32.reshape(bk // KN_GROUP, half, bn)
+            hi = (g3 >> 4) & 0x0F
+            lo = g3 & 0x0F
+            vals = (
+                jnp.concatenate([hi, lo], axis=1).reshape(bk, bn)
+                .astype(jnp.float32) - float(Q4_OFFSET)
+            )
+            s3 = s.reshape(bk // BLOCK_SIZE, 1, bn)
+            wd = (
+                (vals.reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
+                .reshape(bk, bn).astype(x.dtype)
+            )
+            o_ref[:] += jax.lax.dot_general(
+                x, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+
+        if variant == "i8shift":
+            p = w_ref[:]  # int8
+            mk = lambda rows: (
+                ((rows >> 4) & 0x0F).astype(x.dtype),
+                (rows & 0x0F).astype(x.dtype),
+            )
+        elif variant == "i16shift":
+            p = w_ref[:].astype(jnp.int16)
+            mk = lambda rows: (
+                ((rows >> 4) & 0x0F).astype(x.dtype),
+                (rows & 0x0F).astype(x.dtype),
+            )
+        else:  # cur
+            p32 = w_ref[:].astype(jnp.int32)
+            mk = lambda rows: (
+                ((rows >> 4) & 0x0F).astype(x.dtype),
+                (rows & 0x0F).astype(x.dtype),
+            )
+            p = p32
+
+        for g in range(p.shape[0] // half):
+            rows = p[g * half:(g + 1) * half]
+            hi, lo = mk(rows)
+            xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+            xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+            sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+            suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+            ph = jax.lax.dot_general(
+                xh, hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - float(Q4_OFFSET) * sumh
+            plo = jax.lax.dot_general(
+                xl, lo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) - float(Q4_OFFSET) * suml
+            acc += ph * s[2 * g].reshape(1, bn)
+            acc += plo * s[2 * g + 1].reshape(1, bn)
+        o_ref[:] += acc
+
+    def run_one(x, w, variant, bm, bn, bk):
+        M, K = x.shape
+        N = w.data.shape[-1]
+        grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
+        out = pl.pallas_call(
+            functools.partial(body, variant=variant),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+                pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n)),
+                pl.BlockSpec((bk // BLOCK_SIZE, bn), lambda m, n, k: (k, n)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=K * N // 2 + K // 32 * N * 4,
+                transcendentals=0,
+            ),
+        )(x, w.data, w.scales)
+        return out
+
+    key = jax.random.PRNGKey(0)
+    variants = args.variants.split(",")
+    for name, (K, N) in SHAPES.items():
+        if args.shape and name != args.shape:
+            continue
+        kw, kx = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        w = quantize(
+            jax.random.normal(kw, (N, K), jnp.float32) * 0.02,
+            "q4", layout="kn",
+        )
+        x = (jax.random.normal(kx, (args.m, K), jnp.float32) * 0.5).astype(
+            jnp.bfloat16
+        )
+        data_bytes = w.data.nbytes + w.scales.nbytes
+        bns = [int(v) or _pick_bn(N) for v in args.bns.split(",")]
+        for bn in bns:
+            bks = [
+                int(v) or _pick_bk(K, bn, "q4") for v in args.bks.split(",")
+            ]
+            for bk in bks:
+                if K % bk or (bk // 2) * bn > 4 * 1024 * 1024:
+                    continue
+                for variant in variants:
+                    try:
+                        f = lambda x: run_one(x, w, variant, args.m, bn, bk)
+                        g = loop_fn(f, x, args.iters)
+                        times = device_time_us(g)
+                        kern_us = max(times.values(), default=0.0)
+                        per_call = kern_us / args.iters
+                        steps = (
+                            pl.cdiv(N, bn) * (K // bk)
+                        )
+                        print(
+                            f"{name:>9} bn={bn:<5} bk={bk:<5} "
+                            f"{variant:>8}: {per_call:8.2f} us "
+                            f"{data_bytes / per_call / 1e3:7.1f} GB/s "
+                            f"(floor {data_bytes / 819e9 * 1e6:6.2f}) "
+                            f"steps={steps}",
+                            flush=True,
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        print(f"{name:>9} bn={bn} bk={bk} {variant}: FAIL "
+                              f"{str(e).splitlines()[0][:120]}", flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--bench", default="qmatmul",
-                    choices=("qmatmul", "probe", "i4"))
+                    choices=("qmatmul", "probe", "i4", "sweep"))
+    ap.add_argument("--variants", default="stream,cur,i8shift,dq")
+    ap.add_argument("--bns", default="0")
+    ap.add_argument("--bks", default="0")
     ap.add_argument("--kind", default="q4", choices=("q4", "q8"))
     ap.add_argument("--m", type=int, default=8)
     ap.add_argument("--iters", type=int, default=50)
@@ -408,6 +638,8 @@ def main(argv=None) -> int:
         return bench_probe(args)
     if args.bench == "i4":
         return bench_i4(args)
+    if args.bench == "sweep":
+        return bench_sweep(args)
     return bench_qmatmul(args)
 
 
