@@ -22,6 +22,8 @@ def main() -> int:
     n_tokens = int(os.environ.get("BENCH_TOKENS", "256"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
+    if os.environ.get("BENCH_SERVE"):
+        return serve_bench(policy_name, batch if batch > 1 else 32, chunk)
     if batch > 1:
         return batched_bench(policy_name, batch, chunk)
 
@@ -135,6 +137,82 @@ def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
             "policy": policy_name, "batch": batch,
             "ms_per_step": round(wall / rounds / chunk * 1000, 3),
             "per_seq_tok_s": round(tok_s / batch, 2),
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
+    return 0
+
+
+def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
+    """Continuous-batching serving benchmark (BASELINE config 3: "Q4_0 +
+    INT8 KV-cache, continuous batching at batch 32"): aggregate decode
+    throughput + p50 TTFT across BENCH_REQS requests through BENCH_BATCH
+    slots. Enable with BENCH_SERVE=1."""
+    import statistics
+    import time
+
+    import jax
+
+    from tinyllama_tpu.config import (
+        GenerationConfig, POLICIES, TINYLLAMA_1_1B,
+    )
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.runtime.engine import Engine
+    from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
+    from tinyllama_tpu.runtime.scheduler import ContinuousBatcher
+
+    cfg = TINYLLAMA_1_1B
+    policy = POLICIES[policy_name]
+    n_reqs = int(os.environ.get("BENCH_REQS", str(batch * 3)))
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "33"))
+    max_new = int(os.environ.get("BENCH_MAXNEW", "64"))
+
+    import jax.numpy as jnp
+
+    dense = llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    params = jax.block_until_ready(llama.convert_params(dense, policy))
+    del dense
+
+    engine = Engine(cfg, policy, params, max_batch=batch)
+    gen = GenerationConfig(greedy=True, eos_token=-1, chunk_size=chunk)
+
+    def run_round():
+        sched = ContinuousBatcher(engine, gen, max_batch=batch)
+        for i in range(n_reqs):
+            sched.submit(
+                [2 + (i + j) % 1000 for j in range(prompt_len)],
+                max_new=max_new,
+            )
+        t0 = time.perf_counter()
+        results = sched.run()
+        wall = time.perf_counter() - t0
+        toks = sum(len(r.output) for r in results.values())
+        ttfts = [
+            r.first_token_s - r.submitted_s for r in results.values()
+            if r.first_token_s is not None
+        ]
+        return toks, wall, ttfts
+
+    run_round()  # compile (prefill buckets, chunk, insert)
+    toks, wall, ttfts = run_round()
+
+    print(json.dumps({
+        "metric": f"serve_tok_s_tinyllama1.1b_{policy_name}_b{batch}",
+        "value": round(toks / wall, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(
+            toks / wall
+            / ((detect_hbm_bw() or 819e9) / tree_nbytes(params) * batch),
+            4,
+        ),
+        "detail": {
+            "policy": policy_name, "slots": batch, "requests": n_reqs,
+            "prompt_len": prompt_len, "max_new": max_new,
+            "generated": toks, "wall_s": round(wall, 2),
+            "ttft_p50_ms": round(
+                statistics.median(ttfts) * 1000, 1) if ttfts else None,
+            "ttft_max_ms": round(max(ttfts) * 1000, 1) if ttfts else None,
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
         },

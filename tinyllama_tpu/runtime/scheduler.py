@@ -8,10 +8,15 @@ Design (TPU-first):
   * the engine's batched KV cache provides B fixed slots; every slot sits
     at its own position (per-row `pos` — the cache update is a vmapped
     dynamic_update_slice, i.e. a batch scatter),
-  * new requests are prefilled as a standalone single-row call, then their
-    cache row + first logits are inserted into the live batch state with
-    one jitted scatter (`_insert_slot`) — decode of other slots never
-    stalls on a prompt,
+  * new requests are prefilled in one batched call whose batch size is
+    padded to a power-of-two bucket (bounded compile variants; the
+    bucket's cache buffers are allocated once and reused across
+    admissions), then inserted into the live batch state with one jitted
+    scatter (`_insert_slot`). The admission prefill is dispatched while
+    the previous decode chunk is still in flight, so the host never
+    stalls running slots on a prompt (on-device the chunk and the
+    prefill serialize — one chip — but no decode chunk is ever delayed
+    by host-side admission work),
   * decode advances ALL slots together in the engine's device-resident
     chunk (one host round-trip per C tokens per batch, not per token),
   * finished/empty slots park: they keep decoding into their own cache row
@@ -98,6 +103,10 @@ class ContinuousBatcher:
         self.logits = jnp.zeros((self.B, V), jnp.float32)
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.key = jax.random.PRNGKey(self.gen.seed)
+        #: per-bucket reusable admission-prefill caches (allocated lazily,
+        #: reused every admission — prefill donates and returns the same
+        #: buffers, so steady-state admissions allocate nothing)
+        self._admit_caches: dict[int, KVCache] = {}
 
     # ------------------------------------------------------------------ API
 
@@ -127,19 +136,35 @@ class ContinuousBatcher:
 
     # ----------------------------------------------------------------- steps
 
-    def _admit(self) -> None:
+    def _admit_prefill(self):
+        """Dispatch one batched prefill for every queued request with a
+        free slot; returns the in-flight admission (or None).
+
+        Dispatch-only — nothing blocks here. The admission batch size is
+        padded up to a power-of-two bucket with BOS-only dummy rows so at
+        most log2(B) prefill-batch variants ever compile and the bucket's
+        cache buffers are reused across admissions (prefill donates them
+        and hands the same memory back).
+        """
         free = [s for s in range(self.B) if self.running[s] is None]
         if not free or not self.queue:
-            return
-        # one batched prefill for every admission this round — per-request
-        # prefills each pay a host<->device round-trip (large behind a
-        # tunneled chip) and re-stream the weights per prompt
+            return None
         take = min(len(free), len(self.queue))
+        bucket = 1
+        while bucket < take:
+            bucket *= 2
+        bucket = min(bucket, self.B)
+        take = min(take, bucket)
         reqs = [self.queue.pop(0) for _ in range(take)]
-        batch_cache = self.engine.new_cache(take)
-        logits, batch_cache, lens = self.engine.prefill(
-            batch_cache, [r.prompt for r in reqs]
-        )
+        prompts = [r.prompt for r in reqs] + [[1]] * (bucket - take)
+        cache = self._admit_caches.pop(bucket, None)
+        if cache is None:
+            cache = self.engine.new_cache(bucket)
+        logits, cache, lens = self.engine.prefill(cache, prompts)
+        return free, reqs, logits, cache, lens, bucket
+
+    def _insert_admitted(self, admitted) -> None:
+        free, reqs, logits, batch_cache, lens, bucket = admitted
         for i, (slot, req) in enumerate(zip(free, reqs)):
             row_cache = jax.tree.map(
                 lambda a: None if a is None else a[:, i : i + 1],
@@ -151,19 +176,27 @@ class ContinuousBatcher:
             )
             self.pos = self.pos.at[slot].set(int(lens[i]))
             self.running[slot] = req
+        self._admit_caches[bucket] = batch_cache
 
     def step(self, stream: Callable[[int, int], None] | None = None) -> None:
-        """Admit pending requests, then decode one chunk for all slots."""
-        self._admit()
-        if not any(r is not None for r in self.running):
+        """Decode one chunk for all running slots while admitting pending
+        requests behind it; insert the admitted rows for the next chunk."""
+        in_flight = None
+        if any(r is not None for r in self.running):
+            C = max(1, self.gen.chunk_size)
+            chunk = self.engine._chunk_fn(C, self.gen.greedy, self.gen.top_k)
+            in_flight = chunk(
+                self.engine.params, self.cache, self.logits, self.pos,
+                self.key, jnp.int32(self.gen.eos_token),
+                jnp.float32(self.gen.temperature),
+            )
+        admitted = self._admit_prefill()
+        if in_flight is None:
+            if admitted is not None:
+                self._insert_admitted(admitted)
             return
 
-        C = max(1, self.gen.chunk_size)
-        chunk = self.engine._chunk_fn(C, self.gen.greedy, self.gen.top_k)
-        toks, done, self.logits, self.cache, self.pos, self.key = chunk(
-            self.engine.params, self.cache, self.logits, self.pos, self.key,
-            jnp.int32(self.gen.eos_token), jnp.float32(self.gen.temperature),
-        )
+        toks, done, self.logits, self.cache, self.pos, self.key = in_flight
         toks_np = np.asarray(toks)  # [B, C] — one transfer
         now = time.perf_counter()
 
@@ -187,6 +220,9 @@ class ContinuousBatcher:
                 ):
                     self._finish(slot, req, now)
                     break
+
+        if admitted is not None:
+            self._insert_admitted(admitted)
 
     def _finish(self, slot: int, req: Request, now: float) -> None:
         req.done = True

@@ -426,6 +426,113 @@ def bench_sweep(args) -> int:
             )
             return
 
+        if variant in ("ilp4", "tree"):
+            # same math as "cur" but the per-block partial products land
+            # in independent accumulators (4 rotating chains / full tree
+            # reduction) so the MXU can pipeline the depth-32 dots
+            # instead of serializing on one acc += chain
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            half = KN_GROUP // 2
+            p32 = w_ref[:].astype(jnp.int32)
+            parts = []
+            for g in range(p32.shape[0] // half):
+                rows = p32[g * half:(g + 1) * half]
+                hi = ((rows >> 4) & 0x0F).astype(x.dtype)
+                lo = (rows & 0x0F).astype(x.dtype)
+                xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+                xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+                sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+                suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+                dims = (((1,), (0,)), ((), ()))
+                ph = jax.lax.dot_general(
+                    xh, hi, dims, preferred_element_type=jnp.float32,
+                ) - float(Q4_OFFSET) * sumh
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32,
+                ) - float(Q4_OFFSET) * suml
+                parts.append(ph * s[2 * g].reshape(1, bn))
+                parts.append(plo * s[2 * g + 1].reshape(1, bn))
+            if variant == "ilp4":
+                accs = [jnp.zeros(o_ref.shape, jnp.float32) for _ in range(4)]
+                for i, pb in enumerate(parts):
+                    accs[i % 4] = accs[i % 4] + pb
+                o_ref[:] += (accs[0] + accs[1]) + (accs[2] + accs[3])
+            else:
+                while len(parts) > 1:
+                    parts = [
+                        parts[i] + parts[i + 1] if i + 1 < len(parts)
+                        else parts[i]
+                        for i in range(0, len(parts), 2)
+                    ]
+                o_ref[:] += parts[0]
+            return
+
+        if variant == "fullunpack":
+            # same math as "cur" but the nibble unpack runs once on the
+            # whole tile (full-shape VPU ops), dots slice the results
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            half = KN_GROUP // 2
+            p32 = w_ref[:].astype(jnp.int32)
+            hi_all = ((p32 >> 4) & 0x0F).astype(x.dtype)
+            lo_all = (p32 & 0x0F).astype(x.dtype)
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            for g in range(p32.shape[0] // half):
+                hi = hi_all[g * half:(g + 1) * half]
+                lo = lo_all[g * half:(g + 1) * half]
+                xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+                xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+                sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+                suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+                ph = jax.lax.dot_general(
+                    xh, hi, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) - float(Q4_OFFSET) * sumh
+                plo = jax.lax.dot_general(
+                    xl, lo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) - float(Q4_OFFSET) * suml
+                acc += ph * s[2 * g].reshape(1, bn)
+                acc += plo * s[2 * g + 1].reshape(1, bn)
+            o_ref[:] += acc
+            return
+
+        if variant == "dot3":
+            # three-dot identity: B = xl.p gives 16*(xl.h) + xl.l, so the
+            # lo plane never unpacks — only h (shift) is materialized.
+            # (Structural-cost measurement; offset handling approximate.)
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            half = KN_GROUP // 2
+            p32 = w_ref[:].astype(jnp.int32)
+            h_all = ((p32 >> 4) & 0x0F).astype(x.dtype)
+            p_all = w_ref[:].astype(x.dtype)  # direct i8->bf16
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            for g in range(p32.shape[0] // half):
+                h = h_all[g * half:(g + 1) * half]
+                pb = p_all[g * half:(g + 1) * half]
+                xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+                xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+                sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+                suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+                dims = (((1,), (0,)), ((), ()))
+                A = jax.lax.dot_general(
+                    xh, h, dims, preferred_element_type=jnp.float32)
+                C = jax.lax.dot_general(
+                    xl, h, dims, preferred_element_type=jnp.float32)
+                B = jax.lax.dot_general(
+                    xl, pb, dims, preferred_element_type=jnp.float32)
+                sh = s[2 * g].reshape(1, bn)
+                sl = s[2 * g + 1].reshape(1, bn)
+                acc += (A - float(Q4_OFFSET) * sumh) * sh
+                acc += (B - 16.0 * C - float(Q4_OFFSET) * suml) * sl
+            o_ref[:] += acc
+            return
+
         if variant == "dotsraw":
             # q8-equivalent work on the packed tile: one cast per byte,
             # one depth-32 dot + scale-apply per 32-row block — no nibble
@@ -544,12 +651,49 @@ def bench_sweep(args) -> int:
             acc += plo * s[2 * g + 1].reshape(1, bn)
         o_ref[:] += acc
 
-    def run_one(x, w, variant, bm, bn, bk):
+    def run_one(x, w, variant, bm, bn, bk, tiled=False):
         M, K = x.shape
         N = w.data.shape[-1]
         grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
+        kernel = functools.partial(
+            body, variant=variant.removesuffix("-t"))
+        cost = pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=K * N // 2 + K // 32 * N * 4,
+            transcendentals=0,
+        )
+        cp = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        )
+        if tiled:
+            # pre-tiled contiguous layout: [grid_n, K//2, bn] — every
+            # weight-tile DMA is one unbroken HBM run
+            gn = grid[1]
+            assert N % bn == 0, (N, bn)
+            data_t = (
+                w.data.reshape(K // 2, gn, bn).transpose(1, 0, 2).copy()
+            )
+            scales_t = (
+                w.scales.reshape(K // 32, gn, bn).transpose(1, 0, 2).copy()
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+                    pl.BlockSpec((None, bk // 2, bn),
+                                 lambda m, n, k: (n, k, 0)),
+                    pl.BlockSpec((None, bk // BLOCK_SIZE, bn),
+                                 lambda m, n, k: (n, k, 0)),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
+                out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+                compiler_params=cp,
+                cost_estimate=cost,
+            )(x, data_t, scales_t)
+            return out
         out = pl.pallas_call(
-            functools.partial(body, variant=variant),
+            kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
@@ -558,14 +702,8 @@ def bench_sweep(args) -> int:
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * M * N * K,
-                bytes_accessed=K * N // 2 + K // 32 * N * 4,
-                transcendentals=0,
-            ),
+            compiler_params=cp,
+            cost_estimate=cost,
         )(x, w.data, w.scales)
         return out
 
@@ -593,7 +731,11 @@ def bench_sweep(args) -> int:
                     continue
                 for variant in variants:
                     try:
-                        f = lambda x: run_one(x, w, variant, args.m, bn, bk)
+                        tiled = variant.endswith("-t")
+                        if tiled and N % bn:
+                            continue
+                        f = lambda x: run_one(
+                            x, w, variant, args.m, bn, bk, tiled)
                         g = loop_fn(f, x, args.iters)
                         times = device_time_us(g)
                         kern_us = max(times.values(), default=0.0)
