@@ -192,9 +192,19 @@ _DATA_TILE_BYTES = 1024 * 1024
 
 
 def _pick_bn(N: int) -> int:
-    """Lane-dim tile: full N (rounded to the 128-lane quantum) up to 2048.
-    Wide tiles make every DMA row a >=2KB contiguous run — the difference
-    between ~300 GB/s and near-peak HBM streaming on v5e."""
+    """Lane-dim tile: prefer the largest 128-multiple <= 2048 that divides
+    N exactly — even tiles measurably beat a wider tile with a ragged
+    (masked) remainder: a half-empty boundary block still costs a full
+    grid step and its thin DMA rows stream poorly (wqkv N=2560 decode:
+    bn=1280 is ~25% faster than bn=2048+mask). Ragged N falls back to
+    2048-wide tiles with Pallas's masked boundary blocks (lm_head's
+    n_vocab=32003 has no useful divisor; at 16 tiles the one ragged
+    block is ~2% of the stream)."""
+    if N >= 2048 and N % 2048 == 0:
+        return 2048
+    for bn in range(2048, 383, -128):
+        if N % bn == 0:
+            return bn
     return min(2048, (N + 127) // 128 * 128)
 
 

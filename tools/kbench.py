@@ -426,6 +426,48 @@ def bench_sweep(args) -> int:
             )
             return
 
+        if variant in ("corrdot", "corrdotnm"):
+            # the +7 offset correction moves out of the block loop into a
+            # single [bm, nblk] @ [nblk, bn] MXU dot over the block sums
+            # of x ("corrdotnm" additionally drops the hi mask — cost
+            # model for the re-encoded high-nibble storage)
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            half = KN_GROUP // 2
+            p32 = w_ref[:].astype(jnp.int32)
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            for g in range(p32.shape[0] // half):
+                rows = p32[g * half:(g + 1) * half]
+                if variant == "corrdotnm":
+                    hi = (rows >> 4).astype(x.dtype)
+                else:
+                    hi = ((rows >> 4) & 0x0F).astype(x.dtype)
+                lo = (rows & 0x0F).astype(x.dtype)
+                xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+                xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+                ph = jax.lax.dot_general(
+                    xh, hi, dims, preferred_element_type=jnp.float32)
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32)
+                acc += ph * s[2 * g].reshape(1, bn)
+                acc += plo * s[2 * g + 1].reshape(1, bn)
+            bm, bk = x.shape
+            nblk = bk // BLOCK_SIZE
+            # block sums of x as an MXU dot against a block-diagonal ones
+            # matrix (lane-splitting reshapes are illegal in-kernel)
+            r = jax.lax.broadcasted_iota(jnp.int32, (bk, nblk), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (bk, nblk), 1)
+            bd = jnp.where(r // BLOCK_SIZE == c, 1.0, 0.0).astype(x.dtype)
+            bsum = jax.lax.dot_general(
+                x, bd, dims, preferred_element_type=jnp.float32,
+            ) * float(Q4_OFFSET)
+            corr = jax.lax.dot_general(
+                bsum, s, dims, preferred_element_type=jnp.float32)
+            o_ref[:] += acc - corr
+            return
+
         if variant in ("ilp4", "tree"):
             # same math as "cur" but the per-block partial products land
             # in independent accumulators (4 rotating chains / full tree
