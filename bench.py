@@ -177,8 +177,18 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     engine = Engine(cfg, policy, params, max_batch=batch)
     gen = GenerationConfig(greedy=True, eos_token=-1, chunk_size=chunk)
 
+    paged = bool(os.environ.get("BENCH_PAGED"))
+    n_pages = None
+    if paged:
+        from tinyllama_tpu.runtime.paged import PAGE_SIZE
+
+        # size the pool to the actual working set (+1 scratch page)
+        per_req = -(-(prompt_len + max_new + chunk) // PAGE_SIZE)
+        n_pages = 1 + batch * per_req
+
     def run_round():
-        sched = ContinuousBatcher(engine, gen, max_batch=batch)
+        sched = ContinuousBatcher(engine, gen, max_batch=batch,
+                                  paged=paged, n_pages=n_pages)
         for i in range(n_reqs):
             sched.submit(
                 [2 + (i + j) % 1000 for j in range(prompt_len)],
@@ -208,6 +218,7 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
         ),
         "detail": {
             "policy": policy_name, "slots": batch, "requests": n_reqs,
+            "paged": paged, "n_pages": n_pages,
             "prompt_len": prompt_len, "max_new": max_new,
             "generated": toks, "wall_s": round(wall, 2),
             "ttft_p50_ms": round(

@@ -1,0 +1,189 @@
+"""Paged KV cache: pool/table ops, kernel parity, scheduler equivalence.
+
+The paged cache must be an execution detail: forwards and scheduled
+generation produce exactly what the monolithic cache produces, while
+slot memory tracks fill (pages) instead of max_ctx.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyllama_tpu.config import DtypePolicy, GenerationConfig, tiny_test_config
+from tinyllama_tpu.models import llama
+from tinyllama_tpu.runtime.engine import Engine
+from tinyllama_tpu.runtime.kvcache import init_cache, update_cache_at_layer
+from tinyllama_tpu.runtime.paged import (
+    PageAllocator,
+    init_paged_cache,
+    paged_layer_view,
+    update_paged_at_layer,
+)
+from tinyllama_tpu.runtime.scheduler import ContinuousBatcher
+
+CFG = tiny_test_config(max_ctx=64)
+PAGE = 16  # small pages so tests cross page boundaries quickly
+F32 = DtypePolicy("f32", "f32", "f32")
+
+
+def seq_table(batch, J, n_pages):
+    """A table mapping each row to its own consecutive pages (skipping
+    physical page 0, the scratch page)."""
+    t = np.zeros((batch, J), np.int32)
+    nxt = 1
+    for b in range(batch):
+        for j in range(J):
+            t[b, j] = nxt
+            nxt += 1
+    assert nxt <= n_pages
+    return jnp.asarray(t)
+
+
+@pytest.mark.parametrize("kv_dtype", ["f32", "i8"])
+def test_paged_write_read_matches_monolithic(kv_dtype):
+    B, T = 2, 9
+    J = CFG.max_ctx // PAGE
+    n_pages = 1 + B * J
+    key = jax.random.PRNGKey(0)
+    k_new = jax.random.normal(key, (B, T, CFG.n_kv_heads, CFG.d_head),
+                              jnp.float32)
+    v_new = jax.random.normal(jax.random.fold_in(key, 1), k_new.shape,
+                              jnp.float32)
+
+    mono = init_cache(CFG, B, kv_dtype)
+    mono = update_cache_at_layer(mono, jnp.int32(1), k_new, v_new,
+                                 jnp.zeros((B,), jnp.int32))
+
+    paged = init_paged_cache(CFG, n_pages, B, kv_dtype, page_size=PAGE)
+    paged = paged.with_table(seq_table(B, J, n_pages))
+    paged = update_paged_at_layer(paged, jnp.int32(1), k_new, v_new,
+                                  jnp.zeros((B,), jnp.int32))
+    # decode-style single-token writes at unaligned positions
+    k1 = jax.random.normal(jax.random.fold_in(key, 2),
+                           (B, 1, CFG.n_kv_heads, CFG.d_head), jnp.float32)
+    v1 = jax.random.normal(jax.random.fold_in(key, 3), k1.shape, jnp.float32)
+    pos = jnp.asarray([T, T], jnp.int32)
+    mono = update_cache_at_layer(mono, jnp.int32(1), k1, v1, pos)
+    paged = update_paged_at_layer(paged, jnp.int32(1), k1, v1, pos)
+    # a write crossing into the second page
+    pos2 = jnp.asarray([PAGE + 3, PAGE + 5], jnp.int32)
+    mono = update_cache_at_layer(mono, jnp.int32(1), k1, v1, pos2)
+    paged = update_paged_at_layer(paged, jnp.int32(1), k1, v1, pos2)
+
+    from tinyllama_tpu.runtime.kvcache import layer_cache_view
+
+    km, vm = layer_cache_view(mono, jnp.int32(1), jnp.float32)
+    kp, vp = paged_layer_view(paged, jnp.int32(1), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(kp), np.asarray(km))
+    np.testing.assert_array_equal(np.asarray(vp), np.asarray(vm))
+
+
+@pytest.mark.parametrize("kv_dtype", ["f32", "i8"])
+def test_paged_forward_matches_monolithic(kv_dtype):
+    policy = DtypePolicy("f32", "f32", kv_dtype)
+    dense = llama.init_dense_params(CFG, jax.random.PRNGKey(7))
+    B, T = 2, 8
+    J = CFG.max_ctx // PAGE
+    n_pages = 1 + B * J
+    tokens = jnp.asarray([[2, 3, 4, 5, 6, 7, 8, 9],
+                          [5, 4, 3, 2, 9, 8, 7, 6]], jnp.int32)
+    pos0 = jnp.zeros((B,), jnp.int32)
+    ropes = None
+
+    mono = init_cache(CFG, B, kv_dtype)
+    hm, mono = llama.forward(CFG, policy, dense, tokens, mono, pos0, ropes)
+
+    paged = init_paged_cache(CFG, n_pages, B, kv_dtype, page_size=PAGE)
+    paged = paged.with_table(seq_table(B, J, n_pages))
+    hp, paged = llama.forward(CFG, policy, dense, tokens, paged, pos0, ropes)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hm), rtol=1e-6,
+                               atol=1e-6)
+
+    # decode steps across a page boundary
+    pos = jnp.full((B,), T, jnp.int32)
+    for i in range(PAGE):  # crosses into page 2 at pos PAGE
+        tok = jnp.asarray([[10 + i], [20 + i]], jnp.int32)
+        hm, mono = llama.forward(CFG, policy, dense, tok, mono, pos, ropes)
+        hp, paged = llama.forward(CFG, policy, dense, tok, paged, pos, ropes)
+        np.testing.assert_allclose(
+            np.asarray(hp), np.asarray(hm), rtol=1e-6, atol=1e-6,
+            err_msg=f"step {i}",
+        )
+        pos = pos + 1
+
+
+def test_flash_paged_kernel_matches_fallback():
+    """The Pallas page-walking kernel (interpret mode off-TPU) must match
+    the gathered-view attention bit-for-bit-ish."""
+    from tinyllama_tpu.ops.attention import gqa_attention
+    from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
+
+    B = 2
+    J = CFG.max_ctx // PAGE
+    n_pages = 1 + B * J
+    key = jax.random.PRNGKey(3)
+    paged = init_paged_cache(CFG, n_pages, B, "f32", page_size=PAGE)
+    paged = paged.with_table(seq_table(B, J, n_pages))
+    fill = [PAGE + 5, 3]  # one row in page 2, one barely started
+    for t in range(max(fill)):
+        k1 = jax.random.normal(jax.random.fold_in(key, t),
+                               (B, 1, CFG.n_kv_heads, CFG.d_head))
+        v1 = jax.random.normal(jax.random.fold_in(key, 100 + t), k1.shape)
+        pos_t = jnp.asarray([min(t, fill[0] - 1), min(t, fill[1] - 1)],
+                            jnp.int32)
+        # freeze rows that are already full (re-writes their last slot,
+        # harmless for this test as long as values match reads below)
+        if t < fill[0] or t < fill[1]:
+            paged = update_paged_at_layer(
+                paged, jnp.int32(0), k1, v1, pos_t
+            )
+
+    q = jax.random.normal(jax.random.fold_in(key, 999),
+                          (B, 1, CFG.n_heads, CFG.d_head), jnp.float32)
+    pos = jnp.asarray([f - 1 for f in fill], jnp.int32)
+
+    got = flash_paged_attention(q, paged, jnp.int32(0), pos, interpret=True)
+    k_eff, v_eff = paged_layer_view(paged, jnp.int32(0), jnp.float32)
+    want = gqa_attention(q, k_eff, v_eff, pos[:, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paged_scheduler_matches_engine(request):
+    """Paged continuous batching == per-request Engine.generate, with a
+    pool far smaller than slots x max_ctx."""
+    params = llama.init_dense_params(CFG, jax.random.PRNGKey(0))
+    engine = Engine(CFG, F32, params, max_batch=2)
+    gen = GenerationConfig(n_predict=30, greedy=True, eos_token=-1,
+                           chunk_size=8)
+    prompts = [[3, 7, 1], [9, 2, 4, 8, 5], [11, 6], [1, 2, 3, 4]]
+    want = {i: engine.generate(p, gen)[0] for i, p in enumerate(prompts)}
+
+    # worst case per request: ceil((5 + 27 + 8)/16) = 3 pages; pool of 7
+    # (1 scratch + 2 slots x 3) forces queuing + page recycling
+    sched = ContinuousBatcher(engine, gen, max_batch=2, paged=True,
+                              n_pages=7, page_size=PAGE)
+    ids = {sched.submit(p): i for i, p in enumerate(prompts)}
+    results = sched.run()
+    assert len(results) == len(prompts)
+    for rid, i in ids.items():
+        assert results[rid].output == want[i], f"prompt {i}"
+    # all pages back in the pool after completion
+    assert sched.alloc.free_pages == 6
+    assert sched.alloc.available == 6
+
+
+def test_page_allocator():
+    a = PageAllocator(8)
+    a.reserve(5)
+    assert a.available == 3
+    p = a.alloc(3)
+    assert len(set(p)) == 3 and a.free_pages == 5
+    assert not a.can_reserve(4)
+    a.reserve(3)
+    q = a.alloc(2)
+    a.release(p, 5)
+    assert a.available == 5
+    a.release(q, 3)
+    assert a.available == 8 and a.free_pages == 8

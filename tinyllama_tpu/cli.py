@@ -242,6 +242,22 @@ def main(argv=None) -> int:
             sys.stdout.write(
                 perf_report(stats, engine.params, engine.new_cache(1))
             )
+        if args.profile:
+            # per-module *device-time* breakdown — the print_perf
+            # linear/attention/other buckets (tinyllama.cpp:565-581) fed
+            # by trace events instead of RAII wall-clock timers
+            from tinyllama_tpu.runtime import trace
+
+            try:
+                events = trace.parse_device_events(args.profile)
+                rep = trace.bucket_report(
+                    events, steps=max(1, stats.generated_tokens)
+                )
+                sys.stdout.write(trace.format_bucket_table(rep))
+            except FileNotFoundError:
+                sys.stderr.write(
+                    f"[profile] no trace files found under {args.profile}\n"
+                )
 
     if args.prompt:
         run_once(args.prompt)

@@ -36,6 +36,7 @@ from tinyllama_tpu.ops.linear import (
 )
 from tinyllama_tpu.ops.norms import rms_norm
 from tinyllama_tpu.ops.pallas.flash_decode import flash_decode_attention
+from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
 from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 from tinyllama_tpu.ops.rope import apply_rope, rope_table
 from tinyllama_tpu.quant.codec import QTensor, quantize
@@ -43,6 +44,11 @@ from tinyllama_tpu.runtime.kvcache import (
     KVCache,
     layer_cache_view,
     update_cache_at_layer,
+)
+from tinyllama_tpu.runtime.paged import (
+    PagedKVCache,
+    paged_layer_view,
+    update_paged_at_layer,
 )
 
 Params = dict[str, Any]
@@ -169,18 +175,30 @@ def _block(
     q = apply_rope(q, q_positions, cos, sin)
     k = apply_rope(k, q_positions, cos, sin)
 
-    cache = update_cache_at_layer(cache, li, k, v, pos)
-    if use_pallas and T == 1 and B == 1:
-        # single-sequence decode: one unblocked S pass, no online-softmax
-        # state (marginally faster than the blocked kernel at b=1)
-        attn = flash_decode_attention(q, cache, li, pos)
-    elif use_pallas:
-        # blocked kernel with causal tile pruning: cost tracks the filled
-        # context per sequence, which is what batched decode needs
-        attn = flash_prefill_attention(q, cache, li, pos)
+    if isinstance(cache, PagedKVCache):
+        cache = update_paged_at_layer(cache, li, k, v, pos)
+        if use_pallas and T == 1:
+            # page-walking flash decode: DMA cost tracks each row's fill
+            attn = flash_paged_attention(q, cache, li, pos)
+        else:
+            # prefill / fallback: gather the pages into a dense view
+            k_eff, v_eff = paged_layer_view(cache, li, x.dtype)
+            attn = gqa_attention(q, k_eff, v_eff, q_positions)
     else:
-        k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
-        attn = gqa_attention(q, k_eff, v_eff, q_positions)
+        cache = update_cache_at_layer(cache, li, k, v, pos)
+        if use_pallas and T == 1 and B == 1:
+            # single-sequence decode: one unblocked S pass, no
+            # online-softmax state (marginally faster than the blocked
+            # kernel at b=1)
+            attn = flash_decode_attention(q, cache, li, pos)
+        elif use_pallas:
+            # blocked kernel with causal tile pruning: cost tracks the
+            # filled context per sequence, which is what batched decode
+            # needs
+            attn = flash_prefill_attention(q, cache, li, pos)
+        else:
+            k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
+            attn = gqa_attention(q, k_eff, v_eff, q_positions)
     attn = attn.reshape(B, T, H * d).astype(x.dtype)
     x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer, aq8))
 

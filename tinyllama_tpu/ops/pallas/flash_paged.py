@@ -1,0 +1,184 @@
+"""Paged flash-decode attention: one new token against a paged KV cache.
+
+The paged counterpart of flash_decode.py (reference decode attention:
+/root/reference/gten/ops.h:930-1133, which re-reads its whole dense score
+buffer per step). Here the cache lives in a shared page pool
+(runtime/paged.py: k/v [L, n_pages, Kh, P, d]) and the kernel walks a
+sequence's pages through its page table:
+
+* grid (B, Kh, J): one step per (sequence, kv-head, page). The page's
+  physical id comes from the scalar-prefetched table inside the BlockSpec
+  index map — `table[b, min(j, last_page(b))]`. Past the fill the index
+  repeats the last page, so Pallas skips the DMA: decode-attention HBM
+  traffic tracks each sequence's *fill*, not max_ctx.
+* online softmax across pages: running (max, denom, weighted-V) state in
+  VMEM scratch, initialized at j == 0, output written at the last page.
+* int8 pages dequantize by folding per-position k-scales into the scores
+  and v-scales into the softmax weights (lane-broadcast multiplies), as
+  in flash_decode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _kernel(
+    li_ref, pos_ref, tbl_ref,  # scalar prefetch
+    q_ref, k_ref, v_ref, *rest,
+    compute_dtype,
+):
+    if len(rest) == 6:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    G, d = q_ref.shape
+    P = k_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    pos = pos_ref[b]
+    last_page = pos // P
+    # past-fill steps re-dispatch the last page (their DMA was skipped);
+    # their scores are fully masked so they contribute exp(-inf) = 0
+    jc = jnp.minimum(j, last_page)
+    valid_step = j <= last_page
+
+    q = q_ref[:].astype(compute_dtype)
+    scores = jax.lax.dot_general(
+        q, k_ref[:].astype(compute_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (1.0 / (d ** 0.5))  # [G, P]
+    if ks_ref is not None:
+        scores = scores * ks_ref[pl.ds(h, 1), :]
+
+    key_pos = jc * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
+    ok = (key_pos <= pos) & valid_step
+    scores = jnp.where(ok, scores, NEG_INF)
+
+    m_prev = m_ref[:, :1]  # [G, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # [G, 1]
+    p = jnp.exp(scores - m_new)  # [G, P]
+    p = jnp.where(ok, p, 0.0)
+    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if vs_ref is not None:
+        p = p * vs_ref[pl.ds(h, 1), :]
+    pv = jax.lax.dot_general(
+        p.astype(compute_dtype), v_ref[:].astype(compute_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, d]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_pages - 1)
+    def _():
+        denom = l_ref[:, :1]
+        denom = jnp.where(denom > 0.0, denom, 1.0)
+        o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
+    B, Kh, G, d = q.shape
+    P = ck.shape[3]
+    J = table.shape[1]
+    compute_dtype = q.dtype
+    quant = ck_s is not None
+
+    def page(b, j, pos_ref, tbl_ref):
+        return tbl_ref[b, jnp.minimum(j, pos_ref[b] // P)]
+
+    grid = (B, Kh, J)
+    in_specs = [
+        pl.BlockSpec((None, None, G, d),
+                     lambda b, h, j, li, pos, tbl: (b, h, 0, 0)),
+        pl.BlockSpec(
+            (None, None, None, P, d),
+            lambda b, h, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), h,
+                                           0, 0),
+        ),
+        pl.BlockSpec(
+            (None, None, None, P, d),
+            lambda b, h, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), h,
+                                           0, 0),
+        ),
+    ]
+    operands = [q, ck, cv]
+    if quant:
+        scale_spec = pl.BlockSpec(
+            (None, None, Kh, P),
+            lambda b, h, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), 0, 0),
+        )
+        in_specs += [scale_spec, scale_spec]
+        operands += [ck_s, cv_s]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, None, G, d),
+                               lambda b, h, j, li, pos, tbl: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),  # running max
+            pltpu.VMEM((G, 128), jnp.float32),  # running denom
+            pltpu.VMEM((G, d), jnp.float32),  # weighted-V accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, compute_dtype=compute_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Kh * G * J * P * d,
+            bytes_accessed=2 * B * Kh * J * P * d * ck.dtype.itemsize,
+            transcendentals=B * Kh * G * J * P,
+        ),
+        interpret=interpret,
+    )(li, pos, table, *operands)
+    return out
+
+
+def flash_paged_attention(
+    q: jnp.ndarray,  # [B, 1, H, d] activation dtype
+    cache,  # PagedKVCache
+    li: jnp.ndarray,  # scalar int32 layer index
+    pos: jnp.ndarray,  # [B] int32 position of the new token
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Single-token GQA attention over the paged cache (the new token's
+    k/v must already be written at `pos`). Returns [B, 1, H, d]."""
+    B, T, H, d = q.shape
+    assert T == 1, "flash_paged_attention is the T=1 decode path"
+    Kh = cache.k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qg = q.reshape(B, Kh, H // Kh, d)
+    li = jnp.reshape(li, (1,)).astype(jnp.int32)
+    out = _flash_paged(
+        qg, cache.k, cache.v, cache.k_scale, cache.v_scale, li,
+        pos.astype(jnp.int32), cache.table.astype(jnp.int32), interpret,
+    )
+    return out.reshape(B, 1, H, d).astype(q.dtype)

@@ -53,6 +53,19 @@ class Request:
     finished_s: float | None = None
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _insert_logits(
+    logits_state: jnp.ndarray,  # [B, V]
+    row_logits: jnp.ndarray,  # [1, V]
+    slot: jnp.ndarray,  # scalar int32
+):
+    """Paged mode: only the logits row moves — the admission prefill
+    already wrote the request's K/V into its own pool pages."""
+    return jax.lax.dynamic_update_slice(
+        logits_state, row_logits, (slot, jnp.int32(0))
+    )
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _insert_slot(
     cache: KVCache,
@@ -89,6 +102,9 @@ class ContinuousBatcher:
         engine: Engine,
         gen: GenerationConfig | None = None,
         max_batch: int | None = None,
+        paged: bool = False,
+        n_pages: int | None = None,
+        page_size: int | None = None,
     ):
         self.engine = engine
         self.gen = gen or GenerationConfig()
@@ -98,14 +114,43 @@ class ContinuousBatcher:
         self.running: list[Request | None] = [None] * self.B
         self.results: dict[int, Request] = {}
 
-        self.cache = engine.new_cache(self.B)
+        self.paged = paged
         V = engine.cfg.n_vocab
         self.logits = jnp.zeros((self.B, V), jnp.float32)
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.key = jax.random.PRNGKey(self.gen.seed)
+        if paged:
+            from tinyllama_tpu.runtime.paged import (
+                PAGE_SIZE, PageAllocator, init_paged_cache,
+            )
+
+            self.P = page_size or PAGE_SIZE
+            S = engine.max_ctx
+            self.J = S // self.P
+            # default pool: monolithic-equivalent capacity (callers size
+            # it down to their actual working set — that's the point)
+            n_pages = n_pages or (self.B * self.J + 1)
+            self.pool = init_paged_cache(
+                engine.cfg, n_pages, self.B, engine.policy.kv_dtype, S,
+                page_size=self.P,
+            )
+            self.alloc = PageAllocator(n_pages)
+            # physical page 0 is the scratch page: unmapped table entries
+            # are zeros, so parked/dummy rows write there harmlessly
+            self.alloc.reserve(1)
+            scratch = self.alloc.alloc(1)
+            assert scratch == [0], scratch
+            self.table_np = np.zeros((self.B, self.J), np.int32)
+            self.slot_pages: list[list[int]] = [[] for _ in range(self.B)]
+            self.slot_reserved: list[int] = [0] * self.B
+            self.pos_host: list[int] = [0] * self.B
+            self.cache = None
+        else:
+            self.cache = engine.new_cache(self.B)
         #: per-bucket reusable admission-prefill caches (allocated lazily,
         #: reused every admission — prefill donates and returns the same
-        #: buffers, so steady-state admissions allocate nothing)
+        #: buffers, so steady-state admissions allocate nothing).
+        #: Unused in paged mode (admissions prefill into the pool).
         self._admit_caches: dict[int, KVCache] = {}
 
     # ------------------------------------------------------------------ API
@@ -149,6 +194,8 @@ class ContinuousBatcher:
         free = [s for s in range(self.B) if self.running[s] is None]
         if not free or not self.queue:
             return None
+        if self.paged:
+            return self._admit_prefill_paged(free)
         take = min(len(free), len(self.queue))
         bucket = 1
         while bucket < take:
@@ -163,7 +210,62 @@ class ContinuousBatcher:
         logits, cache, lens = self.engine.prefill(cache, prompts)
         return free, reqs, logits, cache, lens, bucket
 
+    def _admit_prefill_paged(self, free: list[int]):
+        """Paged admission: reserve each request's worst-case page count
+        (prompt + max_new + one chunk of parked overrun — lazy growth can
+        then never fail), allocate its prompt pages, and prefill straight
+        into the pool through an admission page table. No cache insert —
+        the pages already belong to the request."""
+        S = self.engine.max_ctx
+        reqs: list[Request] = []
+        needs: list[int] = []
+        while self.queue and len(reqs) < len(free):
+            req = self.queue[0]
+            worst = min(
+                len(req.prompt) + req.max_new + self.gen.chunk_size, S
+            )
+            need = -(-worst // self.P)
+            if not self.alloc.can_reserve(need):
+                break  # FIFO admission control: wait for pages to free
+            self.alloc.reserve(need)
+            self.queue.pop(0)
+            reqs.append(req)
+            needs.append(need)
+        if not reqs:
+            return None
+        take = len(reqs)
+        bucket = 1
+        while bucket < take:
+            bucket *= 2
+        bucket = min(bucket, self.B)
+        adm_table = np.zeros((bucket, self.J), np.int32)
+        pages_list: list[list[int]] = []
+        for i, req in enumerate(reqs):
+            pn = max(1, -(-len(req.prompt) // self.P))
+            pages = self.alloc.alloc(pn)
+            adm_table[i, : pn] = pages
+            pages_list.append(pages)
+        prompts = [r.prompt for r in reqs] + [[1]] * (bucket - take)
+        cache = self.pool.with_table(jnp.asarray(adm_table))
+        logits, cache, lens = self.engine.prefill(cache, prompts)
+        self.pool = cache  # prefill donated the pool; keep the new handle
+        return "paged", free, reqs, needs, pages_list, logits, lens
+
     def _insert_admitted(self, admitted) -> None:
+        if admitted[0] == "paged":
+            _, free, reqs, needs, pages_list, logits, lens = admitted
+            for i, (slot, req) in enumerate(zip(free, reqs)):
+                self.slot_pages[slot] = pages_list[i]
+                self.slot_reserved[slot] = needs[i]
+                self.table_np[slot, :] = 0
+                self.table_np[slot, : len(pages_list[i])] = pages_list[i]
+                self.logits = _insert_logits(
+                    self.logits, logits[i : i + 1], jnp.int32(slot)
+                )
+                self.pos = self.pos.at[slot].set(int(lens[i]))
+                self.pos_host[slot] = int(lens[i])
+                self.running[slot] = req
+            return
         free, reqs, logits, batch_cache, lens, bucket = admitted
         for i, (slot, req) in enumerate(zip(free, reqs)):
             row_cache = jax.tree.map(
@@ -178,27 +280,56 @@ class ContinuousBatcher:
             self.running[slot] = req
         self._admit_caches[bucket] = batch_cache
 
+    def _grow_pages(self, C: int) -> None:
+        """Map pages covering the next C decode positions of every
+        running slot (always within the slot's admission reservation)."""
+        for slot, req in enumerate(self.running):
+            if req is None:
+                continue
+            need = min(-(-(self.pos_host[slot] + C) // self.P), self.J)
+            have = len(self.slot_pages[slot])
+            if need > have:
+                new = self.alloc.alloc(need - have)
+                self.slot_pages[slot].extend(new)
+                self.table_np[slot, have:need] = new
+
     def step(self, stream: Callable[[int, int], None] | None = None) -> None:
         """Decode one chunk for all running slots while admitting pending
         requests behind it; insert the admitted rows for the next chunk."""
         in_flight = None
-        if any(r is not None for r in self.running):
-            C = max(1, self.gen.chunk_size)
+        C = max(1, self.gen.chunk_size)
+        was_running = [r is not None for r in self.running]
+        if any(was_running):
             chunk = self.engine._chunk_fn(C, self.gen.greedy, self.gen.top_k)
+            if self.paged:
+                self._grow_pages(C)
+                cache_in = self.pool.with_table(jnp.asarray(self.table_np))
+            else:
+                cache_in = self.cache
             in_flight = chunk(
-                self.engine.params, self.cache, self.logits, self.pos,
+                self.engine.params, cache_in, self.logits, self.pos,
                 self.key, jnp.int32(self.gen.eos_token),
                 jnp.float32(self.gen.temperature),
             )
+            if self.paged:
+                # chain the (async) post-chunk pool into the admission
+                # prefill dispatched below — no host blocking
+                self.pool = in_flight[3]
         admitted = self._admit_prefill()
         if in_flight is None:
             if admitted is not None:
                 self._insert_admitted(admitted)
             return
 
-        toks, done, self.logits, self.cache, self.pos, self.key = in_flight
+        toks, done, self.logits, cache_out, self.pos, self.key = in_flight
+        if not self.paged:
+            self.cache = cache_out
         toks_np = np.asarray(toks)  # [B, C] — one transfer
         now = time.perf_counter()
+        if self.paged:
+            for slot, was in enumerate(was_running):
+                if was:
+                    self.pos_host[slot] += C
 
         max_ctx = self.engine.max_ctx
         for slot, req in enumerate(self.running):
@@ -229,3 +360,11 @@ class ContinuousBatcher:
         req.finished_s = now
         self.results[req.req_id] = req
         self.running[slot] = None
+        if self.paged:
+            # release pages + reservation; zero the table row so the
+            # parked slot keeps writing into the scratch page (0)
+            self.alloc.release(self.slot_pages[slot],
+                               self.slot_reserved[slot])
+            self.slot_pages[slot] = []
+            self.slot_reserved[slot] = 0
+            self.table_np[slot, :] = 0

@@ -100,6 +100,10 @@ def parse_device_events(trace_dir: str | Path) -> list[DeviceEvent]:
                 tname = str(args.get("name", ""))
                 if "XLA Ops" in tname or tname.startswith("TensorFlow Op"):
                     op_tids.add((e.get("pid"), e.get("tid")))
+        if not device_pids and not op_tids:
+            # no device track in this file (e.g. CPU backend): counting
+            # host python/runtime events would be meaningless
+            continue
         for e in events:
             if e.get("ph") != "X":
                 continue
