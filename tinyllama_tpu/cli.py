@@ -120,7 +120,7 @@ def main(argv=None) -> int:
     from tinyllama_tpu.config import (
         GenerationConfig, MODEL_REGISTRY, POLICIES, tiny_test_config,
     )
-    from tinyllama_tpu.io.tokenizer import Tokenizer
+    from tinyllama_tpu.io.hf_tokenizer import load_tokenizer
     from tinyllama_tpu.models import llama
     from tinyllama_tpu.runtime.engine import Engine
     from tinyllama_tpu.runtime.perf import perf_report
@@ -197,7 +197,7 @@ def main(argv=None) -> int:
         else "/root/reference/tokenizer.bin"
     )
     use_tokenizer = not args.random_weights or Path(tok_path).exists()
-    tokenizer = Tokenizer(tok_path) if use_tokenizer else None
+    tokenizer = load_tokenizer(tok_path) if use_tokenizer else None
 
     seed = args.seed if args.seed is not None else int(time.time_ns() % 2**31)
     gen = GenerationConfig(
