@@ -130,11 +130,12 @@ def param_partition_specs(params: llama.Params) -> "llama.Params":
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def cache_specs(quantized: bool) -> KVCache:
+def cache_specs(quantized: bool, batch_axis=DATA_AXIS) -> KVCache:
     """PartitionSpec pytree for a KVCache: kv-heads on "model", batch on
-    "data" (`quantized` = int8 cache with scale planes)."""
-    kv = P(None, DATA_AXIS, MODEL_AXIS, None, None)
-    sc = P(None, DATA_AXIS, MODEL_AXIS, None)
+    the data axes — ("dcn", "data") on a multi-host mesh (`quantized` =
+    int8 cache with scale planes)."""
+    kv = P(None, batch_axis, MODEL_AXIS, None, None)
+    sc = P(None, batch_axis, MODEL_AXIS, None)
     return KVCache(
         k=kv, v=kv,
         k_scale=sc if quantized else None,

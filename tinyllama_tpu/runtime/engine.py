@@ -111,14 +111,17 @@ class Engine:
         self.mesh = mesh
         if tp > 1:
             from tinyllama_tpu.parallel import tp as tpmod
-            from tinyllama_tpu.parallel.mesh import make_mesh
+            from tinyllama_tpu.parallel.mesh import batch_axes, make_mesh
 
             if self.mesh is None:
                 self.mesh = make_mesh(tp=tp)
             self.params = tpmod.tp_permute_params(self.params, cfg, tp)
             self._pspecs = tpmod.param_partition_specs(self.params)
             self.params = tpmod.place(self.mesh, self.params, self._pspecs)
-            self._cspecs = tpmod.cache_specs(policy.kv_dtype == "i8")
+            self._batch_axes = batch_axes(self.mesh)
+            self._cspecs = tpmod.cache_specs(
+                policy.kv_dtype == "i8", self._batch_axes
+            )
             self._fwd_cfg = tpmod.local_config(cfg, tp)
         elif param_sharding is not None:
             self.params = jax.device_put(self.params, param_sharding)
@@ -158,12 +161,10 @@ class Engine:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        from tinyllama_tpu.parallel.mesh import DATA_AXIS
-
         named = {
             "params": self._pspecs,
             "cache": self._cspecs,
-            "batch": P(DATA_AXIS),
+            "batch": P(self._batch_axes),
             "scalar": P(),
         }
         return shard_map(
