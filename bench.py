@@ -24,6 +24,8 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     if os.environ.get("BENCH_SERVE"):
         return serve_bench(policy_name, batch if batch > 1 else 32, chunk)
+    if os.environ.get("BENCH_PREFILL"):
+        return prefill_bench(policy_name, int(os.environ["BENCH_PREFILL"]))
     if batch > 1:
         return batched_bench(policy_name, batch, chunk)
 
@@ -137,6 +139,75 @@ def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
             "policy": policy_name, "batch": batch,
             "ms_per_step": round(wall / rounds / chunk * 1000, 3),
             "per_seq_tok_s": round(tok_s / batch, 2),
+            "backend": jax.default_backend(),
+            "device": jax.devices()[0].device_kind,
+        },
+    }))
+    return 0
+
+
+def prefill_bench(policy_name: str, T: int) -> int:
+    """Prefill throughput + MFU at context length T (device time from a
+    profiler trace — wall clock includes the host<->device dispatch
+    latency, which dwarfs nothing at T=2048 but is still ~30%). Enable
+    with BENCH_PREFILL=T."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.config import POLICIES, TINYLLAMA_1_1B
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.runtime import trace
+    from tinyllama_tpu.runtime.engine import Engine
+    from tinyllama_tpu.runtime.perf import detect_peak_flops
+
+    cfg = TINYLLAMA_1_1B
+    policy = POLICIES[policy_name]
+    dense = llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    params = jax.block_until_ready(llama.convert_params(dense, policy))
+    del dense
+    engine = Engine(cfg, policy, params)
+    prompt = list(range(2, 2 + T))
+
+    cache = engine.new_cache(1)
+    logits, cache, _ = engine.prefill(cache, [prompt])  # compile
+    jax.block_until_ready(logits)
+
+    def run():
+        c = engine.new_cache(1)
+        out, c, _ = engine.prefill(c, [prompt])
+        jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    run()
+    wall = time.perf_counter() - t0
+    try:
+        events = trace.profile_device_events(run)
+        dev_s = sum(e.dur_us for e in events) / 1e6
+    except Exception:
+        dev_s = 0.0
+
+    # matmul FLOPs only (the MFU convention): 2 * params_in_matmuls * T
+    per_layer = (
+        (cfg.n_embd + 2 * cfg.kv_dim) * cfg.n_embd
+        + cfg.n_embd * cfg.n_embd
+        + 2 * cfg.n_ffn * cfg.n_embd
+        + cfg.n_embd * cfg.n_ffn
+    )
+    n_mat = cfg.n_layers * per_layer + cfg.n_vocab * cfg.n_embd
+    flops = 2 * n_mat * T
+    peak = detect_peak_flops() or 394e12
+    base = dev_s or wall
+    print(json.dumps({
+        "metric": f"prefill_tok_s_tinyllama1.1b_{policy_name}_T{T}",
+        "value": round(T / base, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(flops / base / peak, 4),  # MFU
+        "detail": {
+            "policy": policy_name, "T": T,
+            "device_ms": round(dev_s * 1e3, 1),
+            "wall_ms": round(wall * 1e3, 1),
+            "mfu": round(flops / base / peak, 4),
+            "matmul_tflop": round(flops / 1e12, 3),
             "backend": jax.default_backend(),
             "device": jax.devices()[0].device_kind,
         },

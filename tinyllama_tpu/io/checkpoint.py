@@ -93,25 +93,42 @@ def load_gten_checkpoint(
         per_layer = [
             [flat[f"{p}.{i}"] for p in parts] for i in range(cfg.n_layers)
         ]
+        L = cfg.n_layers
         if name.endswith("norm"):
             layers[name] = jnp.asarray(
                 np.stack([p[0].astype(np.float32) for p in per_layer])
             )
         elif isinstance(per_layer[0][0], tuple):
-            # quantized (data, scales) pairs: concat rows within a layer
+            # quantized (data, scales) pairs: write each part straight
+            # into its slice of ONE preallocated stacked array — a
+            # concat-then-stack would copy every byte twice, which
+            # dominates load time on slow hosts
+            dp0 = per_layer[0]
+            rows = [t[0].shape[0] for t in dp0]
+            total = sum(rows)
+            data = np.empty((L, total, *dp0[0][0].shape[1:]),
+                            dp0[0][0].dtype)
+            scales = np.empty((L, total, *dp0[0][1].shape[1:]), np.float32)
+            for i, ps in enumerate(per_layer):
+                r0 = 0
+                for (d, s) in ps:
+                    data[i, r0:r0 + d.shape[0]] = d
+                    scales[i, r0:r0 + d.shape[0]] = s
+                    r0 += d.shape[0]
             layers[name] = to_kn(QTensor(
-                data=jnp.asarray(np.stack(
-                    [np.concatenate([t[0] for t in ps]) for ps in per_layer]
-                )),
-                scales=jnp.asarray(np.stack(
-                    [np.concatenate([t[1] for t in ps]) for ps in per_layer]
-                )),
+                data=jnp.asarray(data), scales=jnp.asarray(scales),
                 kind=file_dtype,
             ))
         else:
-            layers[name] = jnp.asarray(
-                np.stack([np.concatenate(ps) for ps in per_layer]), dtype=wdt
-            )
+            dp0 = per_layer[0]
+            total = sum(p.shape[0] for p in dp0)
+            out = np.empty((L, total, *dp0[0].shape[1:]), dp0[0].dtype)
+            for i, ps in enumerate(per_layer):
+                r0 = 0
+                for p in ps:
+                    out[i, r0:r0 + p.shape[0]] = p
+                    r0 += p.shape[0]
+            layers[name] = jnp.asarray(out, dtype=wdt)
 
     params: Params = {
         "embed": weight(flat["embed"]),

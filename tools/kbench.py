@@ -410,12 +410,18 @@ def bench_sweep(args) -> int:
     from tinyllama_tpu.quant.codec import BLOCK_SIZE, KN_GROUP, Q4_OFFSET, quantize
     from tinyllama_tpu.ops.pallas.qmatmul import _pick_bk, _pick_bn
 
-    def body(x_ref, w_ref, s_ref, o_ref, *, variant):
+    def body(x_ref, w_ref, s_ref, o_ref, *, variant, xfull=False):
         k = pl.program_id(2)
 
         @pl.when(k == 0)
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
+
+        if xfull:
+            # x block spans the whole K: slice this step's window from
+            # VMEM (x is DMAd once per m, not once per grid step)
+            bk_w = w_ref.shape[0] * 2
+            x_ref = x_ref.at[:, pl.ds(k * bk_w, bk_w)]
 
         if variant == "stream":
             # touch each operand minimally; blocks were DMAd regardless
@@ -693,19 +699,27 @@ def bench_sweep(args) -> int:
             acc += plo * s[2 * g + 1].reshape(1, bn)
         o_ref[:] += acc
 
-    def run_one(x, w, variant, bm, bn, bk, tiled=False):
+    def run_one(x, w, variant, bm, bn, bk, tiled=False, xfull=False,
+                vmem=None):
         M, K = x.shape
         N = w.data.shape[-1]
         grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
-        kernel = functools.partial(
-            body, variant=variant.removesuffix("-t"))
+        kernel = functools.partial(body, variant=variant, xfull=xfull)
         cost = pl.CostEstimate(
             flops=2 * M * N * K,
             bytes_accessed=K * N // 2 + K // 32 * N * 4,
             transcendentals=0,
         )
+        cp_kwargs = {}
+        if vmem:
+            cp_kwargs["vmem_limit_bytes"] = vmem
         cp = pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **cp_kwargs,
+        )
+        x_spec = (
+            pl.BlockSpec((bm, K), lambda m, n, k: (m, 0)) if xfull
+            else pl.BlockSpec((bm, bk), lambda m, n, k: (m, k))
         )
         if tiled:
             # pre-tiled contiguous layout: [grid_n, K//2, bn] — every
@@ -722,7 +736,7 @@ def bench_sweep(args) -> int:
                 kernel,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+                    x_spec,
                     pl.BlockSpec((None, bk // 2, bn),
                                  lambda m, n, k: (n, k, 0)),
                     pl.BlockSpec((None, bk // BLOCK_SIZE, bn),
@@ -738,7 +752,7 @@ def bench_sweep(args) -> int:
             kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+                x_spec,
                 pl.BlockSpec((bk // 2, bn), lambda m, n, k: (k, n)),
                 pl.BlockSpec((bk // BLOCK_SIZE, bn), lambda m, n, k: (k, n)),
             ],
@@ -773,11 +787,24 @@ def bench_sweep(args) -> int:
                     continue
                 for variant in variants:
                     try:
-                        tiled = variant.endswith("-t")
+                        # flag suffixes: -t tiled layout, -x whole-K x
+                        # block, -v raised VMEM limit (combinable)
+                        base = variant
+                        tiled = xfull = False
+                        vmem = None
+                        while True:
+                            if base.endswith("-t"):
+                                tiled, base = True, base[:-2]
+                            elif base.endswith("-x"):
+                                xfull, base = True, base[:-2]
+                            elif base.endswith("-v"):
+                                vmem, base = 12 * 2**20, base[:-2]
+                            else:
+                                break
                         if tiled and N % bn:
                             continue
                         f = lambda x: run_one(
-                            x, w, variant, args.m, bn, bk, tiled)
+                            x, w, base, args.m, bn, bk, tiled, xfull, vmem)
                         g = loop_fn(f, x, args.iters)
                         times = device_time_us(g)
                         kern_us = max(times.values(), default=0.0)

@@ -77,7 +77,14 @@ def generate_checkpoint(workdir: Path, dtype: str, seed: int) -> Path:
 
 
 def run_reference(exe: Path, workdir: Path, dtype: str, prompt: str,
-                  npred: int) -> str:
+                  npred: int, seed: int) -> str:
+    # the reference run is expensive on this host — cache its output per
+    # (dtype, npred, prompt, seed)
+    key = f"{dtype}.{npred}.{seed}.{abs(hash(prompt)) % 10**10}"
+    cache = workdir / f"ref_out.{key}.txt"
+    if cache.exists():
+        print(f"using cached reference output {cache}", flush=True)
+        return cache.read_text()
     for aux in ("tokenizer.bin", "model_dl.py"):
         if not (workdir / aux).exists():
             shutil.copy(REFERENCE / aux, workdir / aux)
@@ -85,7 +92,7 @@ def run_reference(exe: Path, workdir: Path, dtype: str, prompt: str,
     cmd = [str(exe), flag, "-p", prompt, "-greedy", "--npred", str(npred)]
     print("+", " ".join(cmd), flush=True)
     proc = subprocess.run(
-        cmd, cwd=workdir, capture_output=True, text=True, timeout=3600
+        cmd, cwd=workdir, capture_output=True, text=True, timeout=14400
     )
     if proc.returncode != 0:
         print(proc.stdout)
@@ -93,10 +100,12 @@ def run_reference(exe: Path, workdir: Path, dtype: str, prompt: str,
         raise RuntimeError(f"reference exited {proc.returncode}")
     # generated text streams to stderr; strip the trailing newline the
     # REPL prints after generation
+    cache.write_text(proc.stderr)
     return proc.stderr
 
 
-def run_ours(ckpt: Path, dtype: str, prompt: str, npred: int) -> str:
+def run_ours(ckpt: Path, dtype: str, prompt: str, npred: int,
+             emulate: bool = True) -> str:
     from tinyllama_tpu.config import (
         DtypePolicy, GenerationConfig, TINYLLAMA_1_1B,
     )
@@ -106,8 +115,9 @@ def run_ours(ckpt: Path, dtype: str, prompt: str, npred: int) -> str:
 
     # match the reference's activation storage per mode: fp16 keeps f16
     # activations (tinyllama.cpp:258-265); quantized modes use q8
-    # activations, approximated here by bf16 compute (BASELINE.md scopes
-    # exact parity to matching bit-width, i.e. the fp16 mode)
+    # activations — run the exact-numerics emulation
+    # (models/ref_parity.py) for token-identical q8/q4 comparison, or
+    # the production engine (bf16 activations) with --no-emulate.
     policy = {
         "fp16": DtypePolicy("f16", "f16", "f16"),
         "q8": DtypePolicy("q8", "bf16", "bf16"),
@@ -116,8 +126,17 @@ def run_ours(ckpt: Path, dtype: str, prompt: str, npred: int) -> str:
     cfg = TINYLLAMA_1_1B
     params, _ = load_gten_checkpoint(ckpt, cfg, policy)
     tok = Tokenizer(REFERENCE / "tokenizer.bin")
-    engine = Engine(cfg, policy, params)
     ids = tok.encode(prompt)
+    if dtype in ("q8", "q4") and emulate:
+        from tinyllama_tpu.models.ref_parity import (
+            greedy_generate_ref_numerics,
+        )
+
+        out_ids = greedy_generate_ref_numerics(
+            cfg, params, ids, npred, eos=tok.eos
+        )
+        return tok.decode_sequence(out_ids)
+    engine = Engine(cfg, policy, params)
     gen = GenerationConfig(n_predict=npred, greedy=True)
     out_ids, _ = engine.generate(ids, gen)
     # stream semantics: the first generated piece decodes with prev=BOS
@@ -137,6 +156,10 @@ def main(argv=None) -> int:
     ap.add_argument("--prompt", default="Who is Karl Marx?")
     ap.add_argument("--workdir", default="/tmp/parity")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-emulate", action="store_true",
+                    help="q8/q4: compare the production engine (bf16 "
+                         "activations) instead of the reference-numerics "
+                         "emulation — expect drift after ~10 tokens")
     args = ap.parse_args(argv)
     if args.npred < 32:
         ap.error("--npred must be >= 32 (see help)")
@@ -147,9 +170,12 @@ def main(argv=None) -> int:
     exe = build_reference(workdir)
     ckpt = generate_checkpoint(workdir, args.dtype, args.seed)
     ref_text = run_reference(
-        exe, workdir, args.dtype, args.prompt, args.npred
+        exe, workdir, args.dtype, args.prompt, args.npred, args.seed
     ).strip("\n")
-    our_text = run_ours(ckpt, args.dtype, args.prompt, args.npred).strip("\n")
+    our_text = run_ours(
+        ckpt, args.dtype, args.prompt, args.npred,
+        emulate=not args.no_emulate,
+    ).strip("\n")
 
     print(f"\nreference: {ref_text!r}")
     print(f"ours     : {our_text!r}")
