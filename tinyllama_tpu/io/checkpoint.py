@@ -69,7 +69,11 @@ def load_gten_checkpoint(
     def weight(decoded, kn: bool = False):
         if isinstance(decoded, tuple):
             data, scales = decoded
-            qt = QTensor(jnp.asarray(data), jnp.asarray(scales), kind=file_dtype
+            from tinyllama_tpu.quant.codec import SCALE_DTYPE
+
+            qt = QTensor(jnp.asarray(data),
+                         jnp.asarray(scales.astype(np.float16), SCALE_DTYPE),
+                         kind=file_dtype
                          if file_dtype in ("q8", "q4") else "q8")
             # matmul weights are re-laid-out K-major for the Pallas kernel
             # (quant/codec.py "kn"); dequantized values are unchanged.
@@ -108,7 +112,9 @@ def load_gten_checkpoint(
             total = sum(rows)
             data = np.empty((L, total, *dp0[0][0].shape[1:]),
                             dp0[0][0].dtype)
-            scales = np.empty((L, total, *dp0[0][1].shape[1:]), np.float32)
+            # fp16 runtime scale storage (codec.SCALE_DTYPE): the file's
+            # deltas are fp16, so the downcast is exact
+            scales = np.empty((L, total, *dp0[0][1].shape[1:]), np.float16)
             for i, ps in enumerate(per_layer):
                 r0 = 0
                 for (d, s) in ps:

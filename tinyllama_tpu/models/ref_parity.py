@@ -79,7 +79,7 @@ def prep_weight(w: QTensor):
         vals = (
             jnp.swapaxes(unpack_q4_kn(w.data), -1, -2) - jnp.int8(Q4_OFFSET)
         )
-    scales = jnp.swapaxes(w.scales, -1, -2)  # already f32-of-f16
+    scales = jnp.swapaxes(w.scales.astype(jnp.float32), -1, -2)
     return vals.astype(jnp.int8), scales
 
 
@@ -281,6 +281,45 @@ def build_ref_step(cfg: ModelConfig, params: Params, s_max: int):
         return step(weights, caches, token, pos)
 
     return bound_step
+
+
+def greedy_generate_with_logits(
+    cfg: ModelConfig,
+    params: Params,
+    prompt_ids: list[int],
+    n_predict: int,
+    eos: int = 32002,
+):
+    """Like greedy_generate_ref_numerics but also returns the per-step
+    logits array [n_steps, n_vocab] (for noise-envelope parity analysis
+    against the reference probe, tools/ref_probe.cpp)."""
+    import numpy as np
+
+    s_max = -(-n_predict // BLOCK_SIZE) * BLOCK_SIZE
+    kv_dim = cfg.kv_dim
+    L = cfg.n_layers
+    caches = (
+        jnp.zeros((L, s_max, kv_dim), jnp.int8),
+        jnp.zeros((L, s_max, kv_dim // BLOCK_SIZE), jnp.float32),
+        jnp.zeros((L, s_max, kv_dim), jnp.int8),
+        jnp.zeros((L, s_max, kv_dim // BLOCK_SIZE), jnp.float32),
+    )
+    step = build_ref_step(cfg, params, s_max)
+    logits = None
+    for i, t in enumerate(prompt_ids):
+        logits, caches = step(caches, jnp.int32(t), jnp.int32(i))
+    all_logits = [np.asarray(logits)]
+    toks: list[int] = []
+    pos = len(prompt_ids)
+    while pos < n_predict:
+        nxt = int(jnp.argmax(logits))
+        toks.append(nxt)
+        if nxt == eos:
+            break
+        logits, caches = step(caches, jnp.int32(nxt), jnp.int32(pos))
+        all_logits.append(np.asarray(logits))
+        pos += 1
+    return toks, np.stack(all_logits)
 
 
 def greedy_generate_ref_numerics(

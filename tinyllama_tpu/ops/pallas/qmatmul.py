@@ -80,7 +80,7 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     x = x_ref[:]
-    s = s_ref[:]  # [BK//32, BN] f32
+    s = s_ref[:].astype(jnp.float32)  # [BK//32, BN] (stored f16, exact)
     bn = s.shape[-1]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
 
@@ -178,7 +178,7 @@ def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
             - float(Q4_OFFSET)
         )
     # [BK//32, BN] scales broadcast over each 32-row block (sublane dim)
-    s3 = s_ref[:].reshape(bk // BLOCK_SIZE, 1, bn)
+    s3 = s_ref[:].astype(jnp.float32).reshape(bk // BLOCK_SIZE, 1, bn)
     w_deq = (
         (vals.reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
         .reshape(bk, bn)
@@ -233,7 +233,7 @@ def _pick_bk(K: int, bn: int, kind: str) -> int:
 def _qmatmul_2d(
     x: jnp.ndarray,  # [M, K] compute dtype
     data: jnp.ndarray,  # [K, N] int8 | [K//2, N] int8 (q4 planar)
-    scales: jnp.ndarray,  # [K//32, N] f32
+    scales: jnp.ndarray,  # [K//32, N] f16/f32
     layer: jnp.ndarray | None,  # [1] int32 iff data/scales carry [L, ..]
     kind: str,
     out_dtype,
@@ -262,7 +262,7 @@ def _qmatmul_2d(
     flops = 2 * M * N * K
     bytes_accessed = (
         x.size * x.dtype.itemsize
-        + (data.size + scales.size * 4)
+        + (data.size + scales.size * scales.dtype.itemsize)
         // (data.shape[0] if layer is not None else 1)
         + M * N * 4
     )

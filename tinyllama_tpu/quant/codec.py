@@ -43,6 +43,12 @@ Q8_MAX = 127.0  # tinyllama_to_gten.py:38
 Q4_MAX = 7.0  # tinyllama_to_gten.py:69
 Q4_OFFSET = 7  # tinyllama_to_gten.py:79
 
+#: Runtime storage dtype for the per-block scales. gten stores fp16
+#: deltas, so float16 holds the exact values at half the HBM stream
+#: bytes of f32 (scales are 20% of a q4 weight stream); kernels upcast
+#: in-register. Set to jnp.float32 if a backend lacks f16 VMEM support.
+SCALE_DTYPE = jnp.float16
+
 
 #: q4 "kn" packing group: nibble planes interleave in sublane groups of
 #: KN_GROUP K-rows (32 bytes hold rows [g, g+32) high / [g+32, g+64) low).
@@ -126,7 +132,8 @@ def quantize_q8(w: jax.Array, layout: str = "nk") -> QTensor:
     blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
     q = jnp.round(blocks * inv[..., None]).astype(jnp.int8)
     qt = QTensor(
-        data=q.reshape(w.shape), scales=deltas_f16.astype(jnp.float32), kind="q8"
+        data=q.reshape(w.shape), scales=deltas_f16.astype(SCALE_DTYPE),
+        kind="q8",
     )
     return to_kn(qt) if layout == "kn" else qt
 
@@ -152,7 +159,7 @@ def quantize_q4(w: jax.Array, layout: str = "nk") -> QTensor:
     blocks = w.reshape(*w.shape[:-1], -1, BLOCK_SIZE)
     q = jnp.round(blocks * inv[..., None]) + Q4_OFFSET  # [0, 14]
     q = jnp.clip(q, 0, 14).astype(jnp.uint8)
-    scales = deltas_f16.astype(jnp.float32)
+    scales = deltas_f16.astype(SCALE_DTYPE)
     if layout == "kn":
         return QTensor(
             data=_pack_q4_kn(q.reshape(w.shape)),
@@ -246,7 +253,8 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
             vals = qt.data.astype(jnp.float32)
         else:
             vals = unpack_q4_kn(qt.data).astype(jnp.float32) - Q4_OFFSET
-        sexp = jnp.repeat(qt.scales, BLOCK_SIZE, axis=-2)
+        sexp = jnp.repeat(qt.scales.astype(jnp.float32), BLOCK_SIZE,
+                          axis=-2)
         return (vals * sexp).astype(dtype)
     if qt.kind == "q8":
         vals = qt.data.astype(jnp.float32)
@@ -254,7 +262,8 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         vals = unpack_q4(qt.data).astype(jnp.float32) - Q4_OFFSET
     else:
         raise ValueError(qt.kind)
-    return (vals * expand_scales(qt.scales)).astype(dtype)
+    return (vals * expand_scales(qt.scales.astype(jnp.float32))).astype(
+        dtype)
 
 
 # -----------------------------------------------------------------------------
