@@ -186,15 +186,13 @@ def _block(
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
     else:
         cache = update_cache_at_layer(cache, li, k, v, pos)
-        if use_pallas and T == 1 and B == 1:
-            # single-sequence decode: one unblocked S pass, no
-            # online-softmax state (marginally faster than the blocked
-            # kernel at b=1)
-            attn = flash_decode_attention(q, cache, li, pos)
-        elif use_pallas:
+        if use_pallas:
             # blocked kernel with causal tile pruning: cost tracks the
-            # filled context per sequence, which is what batched decode
-            # needs
+            # filled context per sequence — at b=1 decode this beats the
+            # unblocked single-pass kernel (flash_decode.py) as soon as
+            # fill < max_ctx, because that one reads the whole padded
+            # cache slab every step (~100us/token at S=2048 vs ~tile
+            # cost at low fill)
             attn = flash_prefill_attention(q, cache, li, pos)
         else:
             k_eff, v_eff = layer_cache_view(cache, li, x.dtype)

@@ -63,6 +63,25 @@ def _dot(a, b, dims):
     )
 
 
+def _load_scales(s_ref) -> jnp.ndarray:
+    """Scale tile -> f32. fp16-stored scales arrive as int16 bit patterns
+    (Mosaic rejects f16 refs outright on this stack; the bitcast at the
+    call boundary is free) and are reconstructed with integer ops —
+    deltas are non-negative by construction (absmax/qmax), so the sign
+    bit is always clear; subnormals decode via their exact 2^-24 ulp."""
+    s = s_ref[:]
+    if s.dtype == jnp.int16:
+        v = s.astype(jnp.int32) & 0xFFFF
+        exp = v >> 10
+        mant = v & 0x3FF
+        bits = ((exp + 112) << 23) | (mant << 13)
+        val = jax.lax.bitcast_convert_type(bits, jnp.float32)
+        return jnp.where(
+            exp == 0, mant.astype(jnp.float32) * jnp.float32(2.0 ** -24), val
+        )
+    return s.astype(jnp.float32)
+
+
 def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
     """Decode variant: integer block dots, scales applied post-MXU.
 
@@ -80,7 +99,7 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
         o_ref[:] = jnp.zeros_like(o_ref)
 
     x = x_ref[:]
-    s = s_ref[:].astype(jnp.float32)  # [BK//32, BN] (stored f16, exact)
+    s = _load_scales(s_ref)  # [BK//32, BN] f32 (stored f16, exact)
     bn = s.shape[-1]
     acc = jnp.zeros(o_ref.shape, jnp.float32)
 
@@ -178,7 +197,7 @@ def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
             - float(Q4_OFFSET)
         )
     # [BK//32, BN] scales broadcast over each 32-row block (sublane dim)
-    s3 = s_ref[:].astype(jnp.float32).reshape(bk // BLOCK_SIZE, 1, bn)
+    s3 = _load_scales(s_ref).reshape(bk // BLOCK_SIZE, 1, bn)
     w_deq = (
         (vals.reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
         .reshape(bk, bn)
@@ -244,6 +263,9 @@ def _qmatmul_2d(
 ) -> jnp.ndarray:
     M, K = x.shape
     N = data.shape[-1]
+    if scales.dtype == jnp.float16:
+        # Mosaic rejects f16 operands; ship the bit pattern instead
+        scales = jax.lax.bitcast_convert_type(scales, jnp.int16)
     bn = bn or _pick_bn(N)
     bk = _pick_bk(K, bn, kind)
     bk_rows = bk // 2 if kind == "q4" else bk

@@ -699,6 +699,104 @@ def bench_sweep(args) -> int:
             acc += plo * s[2 * g + 1].reshape(1, bn)
         o_ref[:] += acc
 
+    def run_manual(x, w, bm, bn, bk):
+        """Hand-rolled pipeline: weights/scales stay in HBM, the kernel
+        double-buffers bk-tiles through VMEM scratch with explicit async
+        copies and computes the blockdot on the resident slot — the
+        definitive test of DMA/compute overlap (the automatic Pallas
+        pipeline measures as stream + compute, fully serialized)."""
+        M, K = x.shape
+        N = w.data.shape[-1]
+        bkr = bk // 2
+        nk = K // bk
+        nbs = bk // BLOCK_SIZE
+
+        def kernel(x_ref, w_hbm, s_hbm, o_ref):
+            n0 = pl.program_id(1) * bn
+
+            def body(w_scr, s_scr, wsem, ssem):
+                def wdma(slot, ki):
+                    return pltpu.make_async_copy(
+                        w_hbm.at[pl.ds(ki * bkr, bkr), pl.ds(n0, bn)],
+                        w_scr.at[slot], wsem.at[slot])
+
+                def sdma(slot, ki):
+                    return pltpu.make_async_copy(
+                        s_hbm.at[pl.ds(ki * nbs, nbs), pl.ds(n0, bn)],
+                        s_scr.at[slot], ssem.at[slot])
+
+                wdma(0, 0).start()
+                sdma(0, 0).start()
+                half = KN_GROUP // 2
+
+                def loop(ki, acc):
+                    slot = ki % 2
+                    nxt = (ki + 1) % 2
+
+                    @pl.when(ki + 1 < nk)
+                    def _():
+                        wdma(nxt, ki + 1).start()
+                        sdma(nxt, ki + 1).start()
+
+                    wdma(slot, ki).wait()
+                    sdma(slot, ki).wait()
+                    p32 = w_scr[slot].astype(jnp.int32)
+                    s = s_scr[slot]
+                    dims = (((1,), (0,)), ((), ()))
+                    # one aligned dynamic read of this tile's x window;
+                    # in-window slices are static (unaligned dynamic
+                    # lane slices are illegal)
+                    xw = x_ref[:, pl.ds(ki * bk, bk)]
+                    for g in range(bkr // half):
+                        rows = p32[g * half:(g + 1) * half]
+                        hi = ((rows >> 4) & 0x0F).astype(x_ref.dtype)
+                        lo = (rows & 0x0F).astype(x_ref.dtype)
+                        base = g * KN_GROUP
+                        xh = xw[:, base:base + half]
+                        xl = xw[:, base + half:base + KN_GROUP]
+                        sumh = jnp.sum(xh.astype(jnp.float32), axis=1,
+                                       keepdims=True)
+                        suml = jnp.sum(xl.astype(jnp.float32), axis=1,
+                                       keepdims=True)
+                        ph = jax.lax.dot_general(
+                            xh, hi, dims,
+                            preferred_element_type=jnp.float32,
+                        ) - float(Q4_OFFSET) * sumh
+                        plo = jax.lax.dot_general(
+                            xl, lo, dims,
+                            preferred_element_type=jnp.float32,
+                        ) - float(Q4_OFFSET) * suml
+                        acc = acc + ph * s[2 * g].reshape(1, bn)
+                        acc = acc + plo * s[2 * g + 1].reshape(1, bn)
+                    return acc
+
+                acc = jax.lax.fori_loop(
+                    0, nk, loop, jnp.zeros((bm, bn), jnp.float32))
+                o_ref[:] = acc
+
+            pl.run_scoped(
+                body,
+                w_scr=pltpu.VMEM((2, bkr, bn), jnp.int8),
+                s_scr=pltpu.VMEM((2, nbs, bn), jnp.float32),
+                wsem=pltpu.SemaphoreType.DMA((2,)),
+                ssem=pltpu.SemaphoreType.DMA((2,)),
+            )
+
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(M, bm), pl.cdiv(N, bn)),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda m, n: (m, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda m, n: (m, n)),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+        )(x, w.data, w.scales)
+
     def run_one(x, w, variant, bm, bn, bk, tiled=False, xfull=False,
                 vmem=None):
         M, K = x.shape
@@ -773,6 +871,11 @@ def bench_sweep(args) -> int:
             jax.random.normal(kw, (N, K), jnp.float32) * 0.02,
             "q4", layout="kn",
         )
+        from tinyllama_tpu.quant.codec import QTensor as _QT
+
+        # the sweep bodies read scales as plain f32 (they test DMA and
+        # compute structure, not the f16 bit-reconstruction)
+        w = _QT(w.data, w.scales.astype(jnp.float32), w.kind, w.layout)
         x = (jax.random.normal(kx, (args.m, K), jnp.float32) * 0.5).astype(
             jnp.bfloat16
         )
@@ -803,8 +906,14 @@ def bench_sweep(args) -> int:
                                 break
                         if tiled and N % bn:
                             continue
-                        f = lambda x: run_one(
-                            x, w, base, args.m, bn, bk, tiled, xfull, vmem)
+                        if base == "manual":
+                            if N % bn:
+                                continue
+                            f = lambda x: run_manual(x, w, args.m, bn, bk)
+                        else:
+                            f = lambda x: run_one(
+                                x, w, base, args.m, bn, bk, tiled, xfull,
+                                vmem)
                         g = loop_fn(f, x, args.iters)
                         times = device_time_us(g)
                         kern_us = max(times.values(), default=0.0)
