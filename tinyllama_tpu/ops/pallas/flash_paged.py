@@ -55,40 +55,41 @@ def _kernel(
 
     pos = pos_ref[b]
     last_page = pos // P
-    # past-fill steps re-dispatch the last page (their DMA was skipped);
-    # their scores are fully masked so they contribute exp(-inf) = 0
-    jc = jnp.minimum(j, last_page)
-    valid_step = j <= last_page
 
-    q = q_ref[:].astype(compute_dtype)
-    scores = jax.lax.dot_general(
-        q, k_ref[:].astype(compute_dtype),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * (1.0 / (d ** 0.5))  # [G, P]
-    if ks_ref is not None:
-        scores = scores * ks_ref[pl.ds(h, 1), :]
+    # beyond-fill pages skip the ENTIRE body (their DMA was already
+    # skipped by the repeated block index): at B x Kh x J grid steps the
+    # masked-but-executed dots would otherwise dominate low-fill decode
+    @pl.when(j <= last_page)
+    def _():
+        q = q_ref[:].astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            q, k_ref[:].astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / (d ** 0.5))  # [G, P]
+        if ks_ref is not None:
+            scores = scores * ks_ref[pl.ds(h, 1), :]
 
-    key_pos = jc * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
-    ok = (key_pos <= pos) & valid_step
-    scores = jnp.where(ok, scores, NEG_INF)
+        key_pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
+        ok = key_pos <= pos
+        scores = jnp.where(ok, scores, NEG_INF)
 
-    m_prev = m_ref[:, :1]  # [G, 1]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)  # [G, 1]
-    p = jnp.exp(scores - m_new)  # [G, P]
-    p = jnp.where(ok, p, 0.0)
-    l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    if vs_ref is not None:
-        p = p * vs_ref[pl.ds(h, 1), :]
-    pv = jax.lax.dot_general(
-        p.astype(compute_dtype), v_ref[:].astype(compute_dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [G, d]
-    acc_ref[:] = acc_ref[:] * alpha + pv
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        m_prev = m_ref[:, :1]  # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)  # [G, 1]
+        p = jnp.exp(scores - m_new)  # [G, P]
+        p = jnp.where(ok, p, 0.0)
+        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vs_ref is not None:
+            p = p * vs_ref[pl.ds(h, 1), :]
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v_ref[:].astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, d]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == n_pages - 1)
     def _():
