@@ -79,7 +79,9 @@ def prep_weight(w: QTensor):
         vals = (
             jnp.swapaxes(unpack_q4_kn(w.data), -1, -2) - jnp.int8(Q4_OFFSET)
         )
-    scales = jnp.swapaxes(w.scales.astype(jnp.float32), -1, -2)
+    from tinyllama_tpu.quant.codec import _logical_scales
+
+    scales = jnp.swapaxes(_logical_scales(w.scales), -1, -2)
     return vals.astype(jnp.int8), scales
 
 

@@ -50,6 +50,24 @@ Q4_OFFSET = 7  # tinyllama_to_gten.py:79
 SCALE_DTYPE = jnp.float16
 
 
+def _kernel_scales(scales: jax.Array) -> jax.Array:
+    """Scales in the "kn" (kernel) layout carry fp16 BIT PATTERNS in an
+    int16 array: Mosaic rejects f16 refs outright, and bitcasting at the
+    kernel call boundary would materialize a copy of the whole stacked
+    scale plane on every jitted step. The matmul kernel reconstructs f32
+    in-register (ops/pallas/qmatmul.py _load_scales)."""
+    if scales.dtype == jnp.float16:
+        return jax.lax.bitcast_convert_type(scales, jnp.int16)
+    return scales
+
+
+def _logical_scales(scales: jax.Array) -> jax.Array:
+    """Inverse of _kernel_scales: int16 bit patterns -> f32 values."""
+    if scales.dtype == jnp.int16:
+        scales = jax.lax.bitcast_convert_type(scales, jnp.float16)
+    return scales.astype(jnp.float32)
+
+
 #: q4 "kn" packing group: nibble planes interleave in sublane groups of
 #: KN_GROUP K-rows (32 bytes hold rows [g, g+32) high / [g+32, g+64) low).
 #: 64 keeps tensor-parallel K-sharding legal whenever K/tp % 64 == 0 and
@@ -163,7 +181,7 @@ def quantize_q4(w: jax.Array, layout: str = "nk") -> QTensor:
     if layout == "kn":
         return QTensor(
             data=_pack_q4_kn(q.reshape(w.shape)),
-            scales=jnp.swapaxes(scales, -1, -2),
+            scales=_kernel_scales(jnp.swapaxes(scales, -1, -2)),
             kind="q4",
             layout="kn",
         )
@@ -210,10 +228,11 @@ def unpack_q4_kn(data: jax.Array) -> jax.Array:
 
 
 def to_kn(qt: QTensor) -> QTensor:
-    """Convert an "nk" QTensor to the "kn" matmul layout (values unchanged)."""
+    """Convert an "nk" QTensor to the "kn" matmul layout (values unchanged;
+    scales become int16 fp16-bit-patterns — see _kernel_scales)."""
     if qt.layout == "kn":
         return qt
-    scales = jnp.swapaxes(qt.scales, -1, -2)
+    scales = _kernel_scales(jnp.swapaxes(qt.scales, -1, -2))
     if qt.kind == "q8":
         return QTensor(
             data=jnp.swapaxes(qt.data, -1, -2), scales=scales,
@@ -253,8 +272,7 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
             vals = qt.data.astype(jnp.float32)
         else:
             vals = unpack_q4_kn(qt.data).astype(jnp.float32) - Q4_OFFSET
-        sexp = jnp.repeat(qt.scales.astype(jnp.float32), BLOCK_SIZE,
-                          axis=-2)
+        sexp = jnp.repeat(_logical_scales(qt.scales), BLOCK_SIZE, axis=-2)
         return (vals * sexp).astype(dtype)
     if qt.kind == "q8":
         vals = qt.data.astype(jnp.float32)
@@ -262,7 +280,7 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
         vals = unpack_q4(qt.data).astype(jnp.float32) - Q4_OFFSET
     else:
         raise ValueError(qt.kind)
-    return (vals * expand_scales(qt.scales.astype(jnp.float32))).astype(
+    return (vals * expand_scales(_logical_scales(qt.scales))).astype(
         dtype)
 
 
