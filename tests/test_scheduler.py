@@ -84,3 +84,21 @@ def test_ttft_recorded(engine):
     req = results[rid]
     assert req.first_token_s is not None
     assert req.finished_s >= req.first_token_s >= req.submitted_s
+
+
+def test_scheduler_over_tp_engine():
+    """ContinuousBatcher on a tensor-parallel Engine: the batched chunk
+    runs under shard_map; outputs must match the single-device engine."""
+    from tinyllama_tpu.parallel.mesh import make_mesh
+
+    params = llama.init_dense_params(CFG, jax.random.PRNGKey(0))
+    single = Engine(CFG, F32, params, max_batch=2)
+    want = {i: single.generate(p, GEN)[0] for i, p in enumerate(PROMPTS[:3])}
+
+    tp_engine = Engine(CFG, F32, params, max_batch=2, tp=2,
+                       mesh=make_mesh(tp=2, dp=1), use_pallas=False)
+    sched = ContinuousBatcher(tp_engine, GEN, max_batch=2)
+    ids = {sched.submit(p): i for i, p in enumerate(PROMPTS[:3])}
+    results = sched.run()
+    for rid, i in ids.items():
+        assert results[rid].output == want[i], f"prompt {i}"
