@@ -57,10 +57,17 @@ def main() -> int:
         chunk_size=chunk,
     )
 
+    spec = int(os.environ.get("BENCH_SPEC", "0"))  # draft_len; 0 = off
+
+    def run():
+        if spec:
+            return engine.generate_speculative(prompt, gen, draft_len=spec)
+        return engine.generate(prompt, gen)
+
     # cold run (compile), then timed warm run
-    engine.generate(prompt, gen)
+    run()
     t0 = time.perf_counter()
-    out, stats = engine.generate(prompt, gen)
+    out, stats = run()
     wall = time.perf_counter() - t0
 
     tok_s = stats.decode_tokens_per_s
@@ -68,14 +75,22 @@ def main() -> int:
     bw = detect_hbm_bw() or 819e9  # v5e default
     roofline = bw / weights_bytes  # every decoded token streams all weights
 
+    suffix = f"_spec{spec}" if spec else ""
     result = {
-        "metric": f"decode_tok_s_tinyllama1.1b_{policy_name}_b1",
+        "metric": f"decode_tok_s_tinyllama1.1b_{policy_name}_b1{suffix}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),
         "detail": {
             "policy": policy_name,
             "tokens": stats.generated_tokens,
+            **(
+                {"n_verify": stats.decode_token_times[0],
+                 "tokens_per_verify": round(
+                     stats.generated_tokens
+                     / max(1, stats.decode_token_times[0]), 2)}
+                if spec and stats.decode_token_times else {}
+            ),
             "ms_per_token": round(stats.ms_per_token, 3),
             "prefill_ms": round(stats.prefill_s * 1000, 1),
             "weights_mb": round(weights_bytes / 1e6, 1),

@@ -379,6 +379,63 @@ class Engine:
         stats.generated_tokens = len(out)
         return out, stats
 
+    def generate_speculative(
+        self,
+        prompt_tokens: list[int],
+        gen: GenerationConfig | None = None,
+        draft_len: int = 4,
+    ) -> tuple[list[int], GenStats]:
+        """Greedy generation with device-resident speculative decoding
+        (runtime/speculative.py): n-gram prompt-lookup drafts verified
+        k+1 tokens per weight stream. Output is token-identical to
+        ``generate`` (greedy acceptance is exact); the whole loop runs
+        in one device call. ``stats.decode_token_times`` holds one entry
+        [n_verify] — emitted/verify = the effective speedup factor."""
+        from tinyllama_tpu.runtime.speculative import build_speculative_chunk
+
+        gen = gen or GenerationConfig()
+        assert gen.greedy, "speculative decoding is greedy-only"
+        assert self.tp == 1, "speculative decoding: tp support pending"
+        stats = GenStats(prompt_tokens=len(prompt_tokens))
+
+        cache = self.new_cache(1)
+        t0 = time.perf_counter()
+        logits, cache, lens = self.prefill(cache, [prompt_tokens])
+        next_tok = int(jnp.argmax(logits[0]))
+        stats.prefill_s = time.perf_counter() - t0
+
+        max_new = max(0, min(gen.n_predict - len(prompt_tokens),
+                             self.max_ctx - len(prompt_tokens)))
+        if not max_new or next_tok == gen.eos_token:
+            return [], stats
+        if max_new == 1:
+            stats.generated_tokens = 1
+            return [next_tok], stats
+
+        sig = ("spec", draft_len, gen.eos_token)
+        if sig not in self._chunks:
+            self._chunks[sig] = build_speculative_chunk(
+                self._fwd_cfg, self.policy, self.use_pallas,
+                self.rope_tables, draft_len, self.max_ctx, gen.eos_token,
+            )
+        chunk = self._chunks[sig]
+
+        toks = np.zeros((self.max_ctx,), np.int32)
+        toks[: len(prompt_tokens)] = prompt_tokens
+        toks[len(prompt_tokens)] = next_tok
+        n_ctx = jnp.int32(len(prompt_tokens) + 1)
+
+        t1 = time.perf_counter()
+        out_buf, n_out, n_verify, cache = chunk(
+            self.params, cache, jnp.asarray(toks), n_ctx,
+            jnp.int32(next_tok), jnp.int32(max_new - 1),
+        )
+        out = [next_tok] + [int(t) for t in np.asarray(out_buf)[: int(n_out)]]
+        stats.decode_s = time.perf_counter() - t1
+        stats.generated_tokens = len(out)
+        stats.decode_token_times.append(int(n_verify))
+        return out, stats
+
     def generate_batch(
         self,
         prompts: list[list[int]],
