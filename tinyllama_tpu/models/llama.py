@@ -35,6 +35,7 @@ from tinyllama_tpu.ops.linear import (
     linear_f32_out,
 )
 from tinyllama_tpu.ops.norms import rms_norm
+from tinyllama_tpu.ops.pallas.ffn_fused import ffn_fused, ffn_fused_eligible
 from tinyllama_tpu.ops.pallas.flash_decode import flash_decode_attention
 from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
 from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
@@ -201,12 +202,22 @@ def _block(
     x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer, aq8))
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    gate_up = linear(h, lp["w_gateup"], use_pallas, layer, aq8)
-    gate = gate_up[..., : cfg.n_ffn]
-    up = gate_up[..., cfg.n_ffn :]
-    # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
-    ffn = linear(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-                 lp["w_down"], use_pallas, layer, aq8)
+    if (
+        use_pallas and not aq8 and tp_axis is None and layer is not None
+        and ffn_fused_eligible(cfg, lp["w_gateup"], lp["w_down"], B * T)
+    ):
+        # decode: whole SwiGLU FFN in one segmented-grid kernel — the
+        # [B, n_ffn] intermediate lives in VMEM scratch, never in HBM
+        ffn = ffn_fused(h, lp["w_gateup"], lp["w_down"], li, cfg)
+    else:
+        gate_up = linear(h, lp["w_gateup"], use_pallas, layer, aq8)
+        gate = gate_up[..., : cfg.n_ffn]
+        up = gate_up[..., cfg.n_ffn :]
+        # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
+        ffn = linear(
+            jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
+            lp["w_down"], use_pallas, layer, aq8,
+        )
     return x + _reduce(ffn), cache
 
 
