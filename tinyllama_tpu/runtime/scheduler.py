@@ -120,6 +120,11 @@ class ContinuousBatcher:
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.key = jax.random.PRNGKey(self.gen.seed)
         if paged:
+            assert engine.tp == 1, (
+                "paged KV + tensor parallelism: the shard_map cache "
+                "specs for the page pool are not wired yet — use the "
+                "monolithic cache with --tp"
+            )
             from tinyllama_tpu.runtime.paged import (
                 PAGE_SIZE, PageAllocator, init_paged_cache,
             )
