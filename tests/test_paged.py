@@ -187,3 +187,27 @@ def test_page_allocator():
     assert a.available == 5
     a.release(q, 3)
     assert a.available == 8 and a.free_pages == 8
+
+
+def test_paged_scheduler_over_tp_engine():
+    """Paged continuous batching on a tensor-parallel engine: the page
+    pool shards kv-heads on the model axis, tables replicate; outputs
+    must match single-device generation."""
+    from tinyllama_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_test_config(max_ctx=64)
+    params = llama.init_dense_params(cfg, jax.random.PRNGKey(0))
+    gen = GenerationConfig(n_predict=24, greedy=True, eos_token=-1,
+                           chunk_size=8)
+    prompts = [[3, 7, 1], [9, 2, 4, 8, 5], [11, 6]]
+    single = Engine(cfg, F32, params, max_batch=2)
+    want = {i: single.generate(p, gen)[0] for i, p in enumerate(prompts)}
+
+    tp_engine = Engine(cfg, F32, params, max_batch=2, tp=2,
+                       mesh=make_mesh(tp=2, dp=1), use_pallas=False)
+    sched = ContinuousBatcher(tp_engine, gen, max_batch=2, paged=True,
+                              page_size=PAGE)
+    ids = {sched.submit(p): i for i, p in enumerate(prompts)}
+    results = sched.run()
+    for rid, i in ids.items():
+        assert results[rid].output == want[i], f"prompt {i}"

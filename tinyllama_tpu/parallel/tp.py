@@ -147,6 +147,22 @@ def cache_partition_specs(cache: KVCache) -> KVCache:
     return cache_specs(cache.k_scale is not None)
 
 
+def paged_cache_specs(quantized: bool):
+    """PartitionSpec pytree for a PagedKVCache: the page pool shards its
+    kv-heads on "model" (pages themselves replicate their id space — the
+    table is pure metadata and stays replicated, as do positions)."""
+    from tinyllama_tpu.runtime.paged import PagedKVCache
+
+    kv = P(None, None, MODEL_AXIS, None, None)
+    sc = P(None, None, MODEL_AXIS, None)
+    return PagedKVCache(
+        k=kv, v=kv,
+        k_scale=sc if quantized else None,
+        v_scale=sc if quantized else None,
+        table=P(),
+    )
+
+
 def place(mesh: Mesh, tree, specs):
     """device_put a pytree against a congruent PartitionSpec pytree."""
     return jax.tree.map(

@@ -122,6 +122,9 @@ class Engine:
             self._cspecs = tpmod.cache_specs(
                 policy.kv_dtype == "i8", self._batch_axes
             )
+            self._cspecs_paged = tpmod.paged_cache_specs(
+                policy.kv_dtype == "i8"
+            )
             self._fwd_cfg = tpmod.local_config(cfg, tp)
         elif param_sharding is not None:
             self.params = jax.device_put(self.params, param_sharding)
@@ -164,6 +167,7 @@ class Engine:
         named = {
             "params": self._pspecs,
             "cache": self._cspecs,
+            "paged_cache": self._cspecs_paged,
             "batch": P(self._batch_axes),
             "scalar": P(),
         }
@@ -183,11 +187,11 @@ class Engine:
             return MODEL_AXIS
         return None
 
-    def _step_fn(self, T: int) -> Callable:
+    def _step_fn(self, T: int, paged: bool = False) -> Callable:
         """Compiled (params, cache, tokens[B,T], pos[B], last[B]) ->
         (logits[B,V] f32, cache). Cache buffers are donated."""
-        if T in self._steps:
-            return self._steps[T]
+        if (T, paged) in self._steps:
+            return self._steps[(T, paged)]
 
         cfg, policy, use_pallas = self._fwd_cfg, self.policy, self.use_pallas
         rope_tables = self.rope_tables
@@ -207,14 +211,15 @@ class Engine:
             )
             return logits, cache
 
+        cname = "paged_cache" if paged else "cache"
         if self.tp > 1:
             step = self._shard_wrap(
                 step,
-                in_specs=("params", "cache", "batch", "batch", "batch"),
-                out_specs=("batch", "cache"),
+                in_specs=("params", cname, "batch", "batch", "batch"),
+                out_specs=("batch", cname),
             )
         step = jax.jit(step, donate_argnums=(1,))
-        self._steps[T] = step
+        self._steps[(T, paged)] = step
         return step
 
     def prefill(self, cache: KVCache, prompts: list[list[int]]):
@@ -234,7 +239,9 @@ class Engine:
         toks = np.zeros((B, T), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
-        step = self._step_fn(T)
+        from tinyllama_tpu.runtime.paged import PagedKVCache
+
+        step = self._step_fn(T, paged=isinstance(cache, PagedKVCache))
         logits, cache = step(
             self.params,
             cache,
@@ -246,14 +253,17 @@ class Engine:
 
     def decode_step(self, cache: KVCache, tokens: jnp.ndarray, pos: jnp.ndarray):
         """One token per sequence. tokens [B], pos [B] -> (logits [B,V], cache)."""
-        step = self._step_fn(1)
+        from tinyllama_tpu.runtime.paged import PagedKVCache
+
+        step = self._step_fn(1, paged=isinstance(cache, PagedKVCache))
         return step(
             self.params, cache, tokens[:, None], pos, jnp.zeros_like(pos)
         )
 
     # ------------------------------------------------------ device decode loop
 
-    def _chunk_fn(self, C: int, greedy: bool, top_k: int) -> Callable:
+    def _chunk_fn(self, C: int, greedy: bool, top_k: int,
+                  paged: bool = False) -> Callable:
         """Compiled chunk: sample + decode C tokens entirely on device.
 
         (params, cache, logits[B,V], pos[B], key, eos, temp) ->
@@ -261,7 +271,7 @@ class Engine:
         The token emitted at step i is sampled from the logits entering
         step i; once a row hits EOS it keeps emitting EOS (host truncates).
         """
-        sig = (C, greedy, top_k)
+        sig = (C, greedy, top_k, paged)
         if sig in self._chunks:
             return self._chunks[sig]
 
@@ -298,11 +308,12 @@ class Engine:
             return toks.T, done, logits, cache, pos, key
 
         if self.tp > 1:
+            cname = "paged_cache" if paged else "cache"
             chunk = self._shard_wrap(
                 chunk,
-                in_specs=("params", "cache", "batch", "batch", "scalar",
+                in_specs=("params", cname, "batch", "batch", "scalar",
                           "scalar", "scalar"),
-                out_specs=("batch", "batch", "batch", "cache", "batch",
+                out_specs=("batch", "batch", "batch", cname, "batch",
                            "scalar"),
             )
         chunk = jax.jit(chunk, donate_argnums=(1,))

@@ -120,11 +120,6 @@ class ContinuousBatcher:
         self.pos = jnp.zeros((self.B,), jnp.int32)
         self.key = jax.random.PRNGKey(self.gen.seed)
         if paged:
-            assert engine.tp == 1, (
-                "paged KV + tensor parallelism: the shard_map cache "
-                "specs for the page pool are not wired yet — use the "
-                "monolithic cache with --tp"
-            )
             from tinyllama_tpu.runtime.paged import (
                 PAGE_SIZE, PageAllocator, init_paged_cache,
             )
@@ -139,6 +134,12 @@ class ContinuousBatcher:
                 engine.cfg, n_pages, self.B, engine.policy.kv_dtype, S,
                 page_size=self.P,
             )
+            if engine.tp > 1:
+                from tinyllama_tpu.parallel import tp as tpmod
+
+                self.pool = tpmod.place(
+                    engine.mesh, self.pool, engine._cspecs_paged
+                )
             self.alloc = PageAllocator(n_pages)
             # physical page 0 is the scratch page: unmapped table entries
             # are zeros, so parked/dummy rows write there harmlessly
@@ -305,7 +306,9 @@ class ContinuousBatcher:
         C = max(1, self.gen.chunk_size)
         was_running = [r is not None for r in self.running]
         if any(was_running):
-            chunk = self.engine._chunk_fn(C, self.gen.greedy, self.gen.top_k)
+            chunk = self.engine._chunk_fn(
+                C, self.gen.greedy, self.gen.top_k, paged=self.paged
+            )
             if self.paged:
                 self._grow_pages(C)
                 cache_in = self.pool.with_table(jnp.asarray(self.table_np))
