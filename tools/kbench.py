@@ -787,8 +787,8 @@ def bench_sweep(args) -> int:
             grid=(pl.cdiv(M, bm), pl.cdiv(N, bn)),
             in_specs=[
                 pl.BlockSpec((bm, K), lambda m, n: (m, 0)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((bm, bn), lambda m, n: (m, n)),
             out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
