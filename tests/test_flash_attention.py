@@ -14,7 +14,6 @@ import pytest
 
 from tinyllama_tpu.config import tiny_test_config
 from tinyllama_tpu.ops.attention import gqa_attention
-from tinyllama_tpu.ops.pallas.flash_decode import flash_decode_attention
 from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 from tinyllama_tpu.runtime.kvcache import (
     init_cache,
@@ -51,10 +50,12 @@ def _fallback(q, cache, li, q_positions):
 
 @pytest.mark.parametrize("kv_dtype", ["bf16", "i8"])
 def test_decode_matches_fallback(kv_dtype):
+    """T=1 through the blocked kernel — the production decode path
+    (models/llama.py uses flash_prefill_attention for decode too)."""
     cache, li, pos, q, q_positions = _setup(kv_dtype, T=1)
     want = np.asarray(_fallback(q, cache, li, q_positions), np.float32)
     got = np.asarray(
-        flash_decode_attention(q, cache, li, pos, interpret=True), np.float32
+        flash_prefill_attention(q, cache, li, pos, interpret=True), np.float32
     )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
 
@@ -95,7 +96,7 @@ def test_prefill_then_decode_consistency():
     cache2 = update_cache_at_layer(
         cache2, li, kh[:, T:], vh[:, T:], jnp.full((B,), T, jnp.int32)
     )
-    step = flash_decode_attention(
+    step = flash_prefill_attention(
         q[:, T:], cache2, li, jnp.full((B,), T, jnp.int32), interpret=True
     )
     np.testing.assert_allclose(

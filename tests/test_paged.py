@@ -211,3 +211,65 @@ def test_paged_scheduler_over_tp_engine():
     results = sched.run()
     for rid, i in ids.items():
         assert results[rid].output == want[i], f"prompt {i}"
+
+
+def test_engine_generate_paged_matches_monolithic():
+    """Engine(paged=True) runs the reference-shaped single-prompt loop on
+    the paged cache (CLI --paged): output must equal the monolithic
+    engine's greedy output."""
+    import jax
+
+    from tinyllama_tpu.config import DtypePolicy, GenerationConfig, tiny_test_config
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.runtime.engine import Engine
+
+    cfg = tiny_test_config()
+    policy = DtypePolicy("f32", "f32", "f32")
+    params = llama.init_dense_params(cfg, jax.random.PRNGKey(0))
+    gen = GenerationConfig(n_predict=40, greedy=True, eos_token=-1,
+                           chunk_size=8)
+    prompt = [3, 7, 1, 9]
+    want, _ = Engine(cfg, policy, params).generate(prompt, gen)
+    got, _ = Engine(cfg, policy, params, paged=True).generate(prompt, gen)
+    assert got == want
+
+    wants, _ = Engine(cfg, policy, params, max_batch=2).generate_batch(
+        [prompt, [5, 2, 8]], gen
+    )
+    gots, _ = Engine(cfg, policy, params, max_batch=2,
+                     paged=True).generate_batch([prompt, [5, 2, 8]], gen)
+    assert gots == wants
+
+
+def test_paged_generate_under_dp2_tp2():
+    """Regression: the paged cache's page table must shard its batch rows
+    on the data axes like pos/tokens (parallel/tp.py paged_cache_specs) —
+    with a replicated table, dp>1 shards index other shards' rows and
+    decode goes wrong silently (advisor finding, round 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.config import DtypePolicy, GenerationConfig, tiny_test_config
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.parallel.mesh import make_mesh
+    from tinyllama_tpu.runtime.engine import Engine
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    cfg = tiny_test_config(n_heads=8, n_kv_heads=4, n_embd=256, n_ffn=512)
+    policy = DtypePolicy("q8", "f32", "i8")
+    params = llama.convert_params(
+        llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32),
+        policy,
+    )
+    gen = GenerationConfig(n_predict=20, greedy=True, eos_token=-2,
+                           chunk_size=4)
+    prompts = [list(range(2, 10)), list(range(3, 11)), [5, 6], [9, 8, 7, 6]]
+    want, _ = Engine(cfg, policy, params, max_batch=4,
+                     use_pallas=False).generate_batch(prompts, gen)
+    eng = Engine(cfg, policy, params, max_batch=4, tp=2,
+                 mesh=make_mesh(tp=2, dp=2), use_pallas=False, paged=True)
+    got, _ = eng.generate_batch(prompts, gen)
+    assert got == want

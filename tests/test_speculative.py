@@ -52,3 +52,15 @@ def test_speculative_budget(engine):
     want, _ = engine.generate([3, 7, 1], gen)
     got, _ = engine.generate_speculative([3, 7, 1], gen, draft_len=4)
     assert got == want and len(got) == 7
+
+
+def test_speculative_full_budget_at_context_limit(engine):
+    """Near max_ctx the loop must consume the WHOLE budget (the padded
+    cache/history buffers let the final verifies run full-width) — not
+    stop up to draft_len tokens early."""
+    prompt = [3, 7, 1]
+    gen = GenerationConfig(n_predict=CFG.max_ctx, greedy=True, eos_token=-1)
+    want, _ = engine.generate(prompt, gen)
+    got, _ = engine.generate_speculative(prompt, gen, draft_len=4)
+    assert len(want) == CFG.max_ctx - len(prompt)
+    assert got == want

@@ -7,7 +7,8 @@ text streams to stderr, the performance table prints to stdout after a
 greedy run. TPU-native extras: ``--bf16/--f32``, ``--kv i8``, ``--model``
 presets, ``--random-weights`` (synthetic smoke runs), ``--platform cpu``,
 ``--chunk`` (tokens per device round-trip), ``--tp`` (tensor-parallel
-degree over a device mesh).
+degree over a device mesh), ``--paged`` (paged KV cache), ``--spec K``
+(speculative decoding).
 """
 
 from __future__ import annotations
@@ -64,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="KV-cache dtype (default: policy default)")
     p.add_argument("--chunk", type=int, default=32,
                    help="decode tokens per device round-trip")
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV cache (page-pool + page-table flash "
+                        "decode kernel; the serving cache layout)")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative decoding with K-token n-gram drafts "
+                        "(greedy only; output identical to plain greedy)")
     p.add_argument("--max-ctx", type=int, default=None,
                    help="context window override")
     p.add_argument("--tp", type=int, default=1,
@@ -102,6 +109,10 @@ def validate(args) -> None:
         raise SystemExit("topk must be gte 1 and lte 32003.")
     if args.tp < 1:
         raise SystemExit("tp must be >= 1.")
+    if args.spec and not args.greedy:
+        raise SystemExit("--spec requires -greedy (exact greedy acceptance).")
+    if args.spec and args.paged:
+        raise SystemExit("--spec uses the monolithic cache (drop --paged).")
 
 
 def main(argv=None) -> int:
@@ -190,6 +201,7 @@ def main(argv=None) -> int:
         param_sharding=shardings,
         cache_sharding=cache_sharding,
         tp=tp,
+        paged=args.paged,
     )
 
     tok_path = args.tokenizer or (
@@ -208,13 +220,17 @@ def main(argv=None) -> int:
 
     def run_once(prompt: str) -> None:
         if tokenizer:
+            from tinyllama_tpu.io.tokenizer import safe_piece
+
             tokens = tokenizer.encode(prompt)
             # first generated piece decodes with prev=BOS, which strips
             # its leading sentencepiece space (tinyllama.cpp:431)
             prev = [1]
 
             def stream(t: int) -> None:
-                piece = tokenizer.decode(prev[0], t)
+                # safe_piece drops unprintable raw bytes, like the
+                # reference's safe_printf (tokenizer.h:114-126)
+                piece = safe_piece(tokenizer.decode(prev[0], t))
                 prev[0] = t
                 sys.stderr.buffer.write(piece)
                 sys.stderr.flush()
@@ -234,7 +250,16 @@ def main(argv=None) -> int:
 
             prof_cm = contextlib.nullcontext()
         with prof_cm:
-            out, stats = engine.generate(tokens, gen, stream=stream)
+            if args.spec:
+                # the speculative loop is one device call: stream the
+                # tokens as they come back instead of per-chunk
+                out, stats = engine.generate_speculative(
+                    tokens, gen, draft_len=args.spec
+                )
+                for t in out:
+                    stream(t)
+            else:
+                out, stats = engine.generate(tokens, gen, stream=stream)
         stats.load_s = load_s
         sys.stderr.write("\n")
         if args.greedy and not args.no_perf:
@@ -242,6 +267,14 @@ def main(argv=None) -> int:
             sys.stdout.write(
                 perf_report(stats, engine.params, engine.new_cache(1))
             )
+            if args.spec and stats.decode_token_times:
+                nv = stats.decode_token_times[0]
+                sys.stdout.write(
+                    f" speculative : {stats.generated_tokens} tokens / "
+                    f"{nv} verify forwards = "
+                    f"{stats.generated_tokens / max(1, nv):.2f} tok per "
+                    f"weight-stream (draft K={args.spec})\n"
+                )
         if args.profile:
             # per-module *device-time* breakdown — the print_perf
             # linear/attention/other buckets (tinyllama.cpp:565-581) fed

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,9 +111,14 @@ def load_gten_checkpoint(
             total = sum(rows)
             data = np.empty((L, total, *dp0[0][0].shape[1:]),
                             dp0[0][0].dtype)
-            # fp16 runtime scale storage (codec.SCALE_DTYPE): the file's
-            # deltas are fp16, so the downcast is exact
-            scales = np.empty((L, total, *dp0[0][1].shape[1:]), np.float16)
+            # runtime scale storage follows codec.SCALE_DTYPE (default
+            # fp16 — the file's deltas are fp16, so that cast is exact;
+            # the jnp.float32 escape hatch must apply here too)
+            from tinyllama_tpu.quant.codec import SCALE_DTYPE
+
+            scales = np.empty(
+                (L, total, *dp0[0][1].shape[1:]), np.dtype(SCALE_DTYPE)
+            )
             for i, ps in enumerate(per_layer):
                 r0 = 0
                 for (d, s) in ps:

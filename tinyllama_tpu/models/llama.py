@@ -36,7 +36,6 @@ from tinyllama_tpu.ops.linear import (
 )
 from tinyllama_tpu.ops.norms import rms_norm
 from tinyllama_tpu.ops.pallas.ffn_fused import ffn_fused, ffn_fused_eligible
-from tinyllama_tpu.ops.pallas.flash_decode import flash_decode_attention
 from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
 from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 from tinyllama_tpu.ops.rope import apply_rope, rope_table
@@ -189,11 +188,10 @@ def _block(
         cache = update_cache_at_layer(cache, li, k, v, pos)
         if use_pallas:
             # blocked kernel with causal tile pruning: cost tracks the
-            # filled context per sequence — at b=1 decode this beats the
-            # unblocked single-pass kernel (flash_decode.py) as soon as
-            # fill < max_ctx, because that one reads the whole padded
-            # cache slab every step (~100us/token at S=2048 vs ~tile
-            # cost at low fill)
+            # filled context per sequence — an unblocked single-pass
+            # kernel would read the whole padded cache slab every step
+            # (~100us/token at S=2048 vs ~tile cost at low fill), which
+            # is why it was retired
             attn = flash_prefill_attention(q, cache, li, pos)
         else:
             k_eff, v_eff = layer_cache_view(cache, li, x.dtype)

@@ -25,7 +25,6 @@ quantize with the f32 delta, dequantize with the fp16-rounded delta.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

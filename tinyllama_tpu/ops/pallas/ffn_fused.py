@@ -84,7 +84,7 @@ def _block_dot_q(x, w_raw, s, kind: str, compute_dtype):
     return acc
 
 
-def _kernel(
+def _ffn_fused_kernel(
     li_ref, x_ref, gu_ref, gus_ref, wd_ref, wds_ref, o_ref,
     gacc, uacc, act,
     *, kind: str, compute_dtype, n_i: int, n_k: int, n_kd: int,
@@ -183,7 +183,7 @@ def _ffn_fused(
         return (li[0], kd, 0)
 
     kernel = functools.partial(
-        _kernel, kind=kind, compute_dtype=compute_dtype, n_i=n_i,
+        _ffn_fused_kernel, kind=kind, compute_dtype=compute_dtype, n_i=n_i,
         n_k=n_k, n_kd=n_kd, bk_gu=bk_gu, bk_d=bk_d, bn_gu=bn_gu, F=F,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

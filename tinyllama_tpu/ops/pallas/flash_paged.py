@@ -1,8 +1,8 @@
 """Paged flash-decode attention: one new token against a paged KV cache.
 
-The paged counterpart of flash_decode.py (reference decode attention:
-/root/reference/gten/ops.h:930-1133, which re-reads its whole dense score
-buffer per step). Here the cache lives in a shared page pool
+The paged counterpart of the monolithic flash kernel (reference decode
+attention: /root/reference/gten/ops.h:930-1133, which re-reads its whole
+dense score buffer per step). Here the cache lives in a shared page pool
 (runtime/paged.py: k/v [L, n_pages, Kh, P, d]) and the kernel walks a
 sequence's pages through its page table:
 
@@ -15,7 +15,7 @@ sequence's pages through its page table:
   VMEM scratch, initialized at j == 0, output written at the last page.
 * int8 pages dequantize by folding per-position k-scales into the scores
   and v-scales into the softmax weights (lane-broadcast multiplies), as
-  in flash_decode.py.
+  in the monolithic flash kernels.
 """
 
 from __future__ import annotations
@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(
+def _flash_paged_kernel(
     li_ref, pos_ref, tbl_ref,  # scalar prefetch
     q_ref, k_ref, v_ref, *rest,
     compute_dtype,
@@ -146,7 +146,7 @@ def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, compute_dtype=compute_dtype),
+        functools.partial(_flash_paged_kernel, compute_dtype=compute_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(

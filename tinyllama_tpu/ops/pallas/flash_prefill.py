@@ -7,7 +7,7 @@ This kernel never materializes them: S is tiled with the standard online-
 softmax recurrence (running row max m, normalizer l, output accumulator),
 so prefill memory is O(tile) regardless of context length.
 
-Structure mirrors ops/pallas/flash_decode.py: the KV cache stays stacked
+The KV cache stays stacked
 [L, B, Kh, S, d] (the new tokens' k/v already written), the layer rides a
 scalar-prefetch index map, int8-KV scales fold into scores / softmax
 weights as lane-aligned [1, BS] multiplies. The GQA group dimension is
@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _kernel(
+def _flash_attn_kernel(
     li_ref, pos_ref, q_ref, k_ref, v_ref, *rest,
     compute_dtype, G: int, bs: int, n_s: int,
 ):
@@ -145,7 +145,7 @@ def _run(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
         operands += [ck_s, cv_s]
 
     kernel = functools.partial(
-        _kernel, compute_dtype=compute_dtype, G=G, bs=bs, n_s=n_s
+        _flash_attn_kernel, compute_dtype=compute_dtype, G=G, bs=bs, n_s=n_s
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -31,7 +31,7 @@ only parallelism); design follows the standard Megatron/TPU recipe.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import Callable
 
 import jax
@@ -147,10 +147,16 @@ def cache_partition_specs(cache: KVCache) -> KVCache:
     return cache_specs(cache.k_scale is not None)
 
 
-def paged_cache_specs(quantized: bool):
+def paged_cache_specs(quantized: bool, batch_axis=DATA_AXIS):
     """PartitionSpec pytree for a PagedKVCache: the page pool shards its
-    kv-heads on "model" (pages themselves replicate their id space — the
-    table is pure metadata and stays replicated, as do positions)."""
+    kv-heads on "model"; the page *table* shards its batch rows on the
+    data axes, exactly like pos/tokens, so update_paged_at_layer and
+    flash_paged index ``table[b]`` with the same shard-local b as every
+    other batch-dim operand. The pool's page-id space replicates across
+    data shards: each shard only ever reads pages its own rows wrote, so
+    the replicated copies may diverge on other rows' pages without any
+    shard observing it (the host allocator hands distinct physical pages
+    to distinct rows globally)."""
     from tinyllama_tpu.runtime.paged import PagedKVCache
 
     kv = P(None, None, MODEL_AXIS, None, None)
@@ -159,7 +165,7 @@ def paged_cache_specs(quantized: bool):
         k=kv, v=kv,
         k_scale=sc if quantized else None,
         v_scale=sc if quantized else None,
-        table=P(),
+        table=P(batch_axis),
     )
 
 

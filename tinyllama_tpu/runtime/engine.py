@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from functools import partial
 from typing import Callable
 
 import jax
@@ -96,6 +95,7 @@ class Engine:
         cache_sharding=None,
         tp: int = 1,
         mesh=None,
+        paged: bool = False,
     ):
         self.cfg = cfg
         self.policy = policy
@@ -105,6 +105,7 @@ class Engine:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu" and policy.is_quantized
         self.use_pallas = use_pallas
+        self.paged = paged
         self.rope_tables = rope_table(self.max_ctx, cfg.d_head, cfg.rope_theta)
         self.cache_sharding = cache_sharding
         self.tp = tp
@@ -123,7 +124,7 @@ class Engine:
                 policy.kv_dtype == "i8", self._batch_axes
             )
             self._cspecs_paged = tpmod.paged_cache_specs(
-                policy.kv_dtype == "i8"
+                policy.kv_dtype == "i8", self._batch_axes
             )
             self._fwd_cfg = tpmod.local_config(cfg, tp)
         elif param_sharding is not None:
@@ -137,6 +138,8 @@ class Engine:
     # ------------------------------------------------------------------ state
 
     def new_cache(self, batch: int | None = None) -> KVCache:
+        if self.paged:
+            return self.new_paged_cache(batch or self.max_batch)
         cache = init_cache(
             self.cfg, batch or self.max_batch, self.policy.kv_dtype, self.max_ctx
         )
@@ -149,6 +152,27 @@ class Engine:
                 cache = self.cache_sharding.apply(cache)
             else:
                 cache = jax.device_put(cache, self.cache_sharding)
+        return cache
+
+    def new_paged_cache(self, batch: int, n_pages: int | None = None):
+        """Paged cache for the non-scheduler paths (Engine.generate /
+        generate_batch / CLI --paged): every row owns a static run of
+        pages covering max_ctx (page 0 stays the scratch page), so the
+        reference-shaped single-prompt loop exercises flash_paged
+        end-to-end. Pool-under-allocation belongs to the scheduler."""
+        from tinyllama_tpu.runtime.paged import PAGE_SIZE, init_paged_cache
+
+        J = self.max_ctx // PAGE_SIZE
+        cache = init_paged_cache(
+            self.cfg, n_pages or (1 + batch * J), batch,
+            self.policy.kv_dtype, self.max_ctx,
+        )
+        table = 1 + jnp.arange(batch * J, dtype=jnp.int32).reshape(batch, J)
+        cache = cache.with_table(table)
+        if self.tp > 1:
+            from tinyllama_tpu.parallel import tp as tpmod
+
+            return tpmod.place(self.mesh, cache, self._cspecs_paged)
         return cache
 
     # ------------------------------------------------------------------ steps
@@ -349,7 +373,7 @@ class Engine:
             # zero iterations, tinyllama.cpp:456): skip decode entirely
             return [], stats
         C = max(1, min(gen.chunk_size, max_new))
-        chunk = self._chunk_fn(C, gen.greedy, gen.top_k)
+        chunk = self._chunk_fn(C, gen.greedy, gen.top_k, paged=self.paged)
 
         out: list[int] = []
         pos = jnp.asarray([int(lens[0])], jnp.int32)
@@ -407,9 +431,17 @@ class Engine:
         gen = gen or GenerationConfig()
         assert gen.greedy, "speculative decoding is greedy-only"
         assert self.tp == 1, "speculative decoding: tp support pending"
+        assert not self.paged, "speculative decoding uses the monolithic cache"
+        assert draft_len < 128
         stats = GenStats(prompt_tokens=len(prompt_tokens))
 
-        cache = self.new_cache(1)
+        # the verify step writes up to draft_len K/V rows past the last
+        # real position near the context limit (speculative.py): pad the
+        # cache by one 128-row tile so the final verifies stay in bounds
+        # (pad rows are never attended — every query position < max_ctx)
+        S_pad = self.max_ctx + 128
+        cache = init_cache(self.cfg, 1, self.policy.kv_dtype, S_pad)
+        spec_rope = rope_table(S_pad, self.cfg.d_head, self.cfg.rope_theta)
         t0 = time.perf_counter()
         logits, cache, lens = self.prefill(cache, [prompt_tokens])
         next_tok = int(jnp.argmax(logits[0]))
@@ -427,11 +459,11 @@ class Engine:
         if sig not in self._chunks:
             self._chunks[sig] = build_speculative_chunk(
                 self._fwd_cfg, self.policy, self.use_pallas,
-                self.rope_tables, draft_len, self.max_ctx, gen.eos_token,
+                spec_rope, draft_len, self.max_ctx, gen.eos_token,
             )
         chunk = self._chunks[sig]
 
-        toks = np.zeros((self.max_ctx,), np.int32)
+        toks = np.zeros((self.max_ctx + draft_len + 1,), np.int32)
         toks[: len(prompt_tokens)] = prompt_tokens
         toks[len(prompt_tokens)] = next_tok
         n_ctx = jnp.int32(len(prompt_tokens) + 1)
@@ -479,7 +511,7 @@ class Engine:
         if not max_new:
             return [[] for _ in range(B)], stats
         C = max(1, min(gen.chunk_size, max_new))
-        chunk = self._chunk_fn(C, gen.greedy, gen.top_k)
+        chunk = self._chunk_fn(C, gen.greedy, gen.top_k, paged=self.paged)
 
         outs: list[list[int]] = [[] for _ in range(B)]
         finished = [b == 0 for b in budgets]

@@ -6,8 +6,9 @@ activation buffers plus a start_pos cursor (SURVEY.md C16;
 On TPU everything under jit needs static shapes, so the cache is an
 explicit array pytree of shape [n_layers, B, n_kv_heads, max_ctx, d_head]
 — head-major, so one (layer, seq, head)'s history is a single contiguous
-S x d slab that the flash-decode kernel (ops/pallas/flash_decode.py) can
-DMA in one straight HBM run.
+S x d slab the flash attention kernel (ops/pallas/flash_prefill.py,
+which serves decode at T=1 with causal tile pruning) DMAs in straight
+HBM runs.
 
 The full stacked arrays flow through the layer scan as *carry* and are
 updated in place with per-(layer, batch-row) dynamic_update_slice —
@@ -24,7 +25,7 @@ reference's q8 activation cache (ops.h:522-528).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

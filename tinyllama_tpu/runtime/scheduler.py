@@ -170,8 +170,29 @@ class ContinuousBatcher:
             else max(1, self.gen.n_predict - len(prompt)),
             submitted_s=time.perf_counter(),
         )
+        if self.paged:
+            # Fail fast on requests the pool can never hold: admission
+            # waits for pages to free, so a worst-case need exceeding the
+            # whole pool (minus the scratch page) would block the FIFO
+            # head forever and livelock run().
+            need = -(-self._worst_case_tokens(req) // self.P)
+            capacity = self.alloc.n_pages - 1
+            if need > capacity:
+                raise ValueError(
+                    f"request needs up to {need} pages but the pool holds "
+                    f"{capacity}: shrink prompt/max_new or grow n_pages"
+                )
         self.queue.append(req)
         return req.req_id
+
+    def _worst_case_tokens(self, req: Request) -> int:
+        """Upper bound on a request's context length: prompt + budget +
+        one chunk of parked overrun (finished slots keep decoding into
+        their last page until the host notices), capped at max_ctx."""
+        return min(
+            len(req.prompt) + req.max_new + self.gen.chunk_size,
+            self.engine.max_ctx,
+        )
 
     @property
     def has_work(self) -> bool:
@@ -222,15 +243,11 @@ class ContinuousBatcher:
         then never fail), allocate its prompt pages, and prefill straight
         into the pool through an admission page table. No cache insert —
         the pages already belong to the request."""
-        S = self.engine.max_ctx
         reqs: list[Request] = []
         needs: list[int] = []
         while self.queue and len(reqs) < len(free):
             req = self.queue[0]
-            worst = min(
-                len(req.prompt) + req.max_new + self.gen.chunk_size, S
-            )
-            need = -(-worst // self.P)
+            need = -(-self._worst_case_tokens(req) // self.P)
             if not self.alloc.can_reserve(need):
                 break  # FIFO admission control: wait for pages to free
             self.alloc.reserve(need)

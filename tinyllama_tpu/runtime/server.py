@@ -43,10 +43,13 @@ class _SchedulerLoop:
         self._queues: dict[int, queue.Queue] = {}
         self._pending = 0
         self._wake = threading.Event()
+        self.error: str | None = None  # set if the scheduler thread died
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, prompt_ids, max_new) -> tuple[int, queue.Queue]:
+        if self.error is not None:
+            raise RuntimeError(f"scheduler thread died: {self.error}")
         q: queue.Queue = queue.Queue()
         with self._lock:
             rid = self.batcher.submit(prompt_ids, max_new=max_new)
@@ -65,23 +68,38 @@ class _SchedulerLoop:
             q.put(tok)
 
     def _run(self) -> None:
-        while True:
+        # Any exception out of batcher.step would otherwise kill this
+        # daemon thread silently and leave every HTTP handler blocked on
+        # q.get() forever: log it, release all waiters, and mark the loop
+        # dead so subsequent submits fail fast.
+        try:
+            while True:
+                with self._lock:
+                    work = self.batcher.has_work
+                if not work:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+                    continue
+                with self._lock:
+                    self.batcher.step(stream=self._stream)
+                    finished = [
+                        rid for rid in list(self._queues)
+                        if rid in self.batcher.results
+                    ]
+                    for rid in finished:
+                        self._queues[rid].put(self._END)
+                        del self._queues[rid]
+                        self._pending -= 1
+        except BaseException as e:  # noqa: BLE001 — must never die silently
+            import traceback
+
+            traceback.print_exc()
+            self.error = f"{type(e).__name__}: {e}"
             with self._lock:
-                work = self.batcher.has_work
-            if not work:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-                continue
-            with self._lock:
-                self.batcher.step(stream=self._stream)
-                finished = [
-                    rid for rid in list(self._queues)
-                    if rid in self.batcher.results
-                ]
-                for rid in finished:
-                    self._queues[rid].put(self._END)
-                    del self._queues[rid]
-                    self._pending -= 1
+                for q in self._queues.values():
+                    q.put(self._END)
+                self._queues.clear()
+                self._pending = 0
 
 
 def make_handler(loop: _SchedulerLoop, tokenizer):
@@ -96,9 +114,10 @@ def make_handler(loop: _SchedulerLoop, tokenizer):
                 self.send_error(404)
                 return
             body = json.dumps({
-                "status": "ok",
+                "status": "ok" if loop.error is None else "error",
                 "slots": loop.batcher.B,
                 "queued": loop.queued,
+                **({"error": loop.error} if loop.error else {}),
             }).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")

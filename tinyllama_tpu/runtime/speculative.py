@@ -42,13 +42,21 @@ def build_speculative_chunk(
 ):
     """Compiled whole-generation speculative loop.
 
-    (params, cache, toks [S] i32, n_ctx, next_tok, budget) ->
+    (params, cache, toks [s_max + T] i32, n_ctx, next_tok, budget) ->
     (out [s_max + T] i32, n_out, n_verify, cache)
 
     toks[0..n_ctx) = prompt + the first sampled token (next_tok ==
     toks[n_ctx-1], whose K/V is not in the cache yet). `budget` (traced)
     caps emitted tokens; n_verify counts verify forwards (n_out /
     n_verify = tokens per weight-stream, the speculative speedup).
+
+    Context-limit semantics: callers must size `toks` at [s_max + T] and
+    the cache at >= s_max + T - 1 positions (Engine pads both), so the
+    final verify step near n_ctx == s_max can still run full-width — the
+    loop consumes the whole budget instead of stopping up to draft_len
+    tokens early, keeping the token-identical-to-generate guarantee at
+    the context boundary. Overrun rows live in pad positions no query
+    ever attends to (budget bounds every legit position < s_max).
     """
     T = draft_len + 1
     k = draft_len
@@ -58,7 +66,7 @@ def build_speculative_chunk(
         propose toks[j+2 : j+2+k]."""
         a = toks[n_ctx - 2]
         b = toks[n_ctx - 1]
-        idx = jnp.arange(s_max - 1, dtype=jnp.int32)
+        idx = jnp.arange(toks.shape[0] - 1, dtype=jnp.int32)
         match = (
             (toks[:-1] == a) & (toks[1:] == b) & (idx < n_ctx - 2)
         )
@@ -88,9 +96,10 @@ def build_speculative_chunk(
 
         def cond(state):
             cache, toks, n_ctx, next_tok, out, n_out, nv, done = state
-            # n_ctx + T <= s_max keeps the history append in bounds (a
-            # clamped dynamic_update_slice would corrupt earlier tokens)
-            return (~done) & (n_out < budget) & (n_ctx + T <= s_max)
+            # n_out < budget implies n_ctx <= s_max - 1 at entry (budget
+            # <= s_max - prompt - 1), so the T-wide history append stays
+            # inside the [s_max + T] buffer without clamping
+            return (~done) & (n_out < budget)
 
         def body(state):
             cache, toks, n_ctx, next_tok, out, n_out, nv, done = state

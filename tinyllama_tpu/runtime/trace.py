@@ -32,7 +32,7 @@ _BUCKETS = (
     ("linear", ("qmm_", "qmatmul", "ffn_fused", "lm_head", "dot", "matmul")),
     # attention bucket: flash kernels + cache write + rope
     # (the reference counts rope + qkv_attn under non-linear modules)
-    ("attention", ("flash_", "attn", "dynamic-update-slice", "dynamic_update",
+    ("attention", ("flash_", "attn", "attention", "dynamic-update-slice", "dynamic_update",
                    "rope", "scatter")),
 )
 
