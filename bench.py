@@ -255,6 +255,9 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     n_reqs = int(os.environ.get("BENCH_REQS", str(batch * 3)))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "33"))
     max_new = int(os.environ.get("BENCH_MAXNEW", "64"))
+    # a chunk longer than any request's budget decodes parked garbage
+    # for (chunk - max_new) steps per wave — clamp
+    chunk = min(chunk, max_new)
 
     import jax.numpy as jnp
 

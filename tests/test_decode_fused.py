@@ -1,0 +1,126 @@
+"""Fused decode-layer kernels vs the unfused path.
+
+decode_fused.py folds rms_norm into the wqkv/gate-up matmuls and the
+residual adds into the wo/down accumulators. The forward picks the fused
+path automatically at M <= 8 with quantized kn weights (models/llama.py
+`fused`); these tests pin it against the XLA fallback forward and the
+unfused Pallas ops. Inputs are f32 (CPU interpret mode can't run bf16
+dots); tolerances cover the f32-vs-bf16 residual-add rounding the fusion
+removes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinyllama_tpu.config import DtypePolicy, tiny_test_config
+from tinyllama_tpu.models import llama
+from tinyllama_tpu.ops.linear import linear
+from tinyllama_tpu.ops.norms import rms_norm
+from tinyllama_tpu.ops.pallas.decode_fused import (
+    decode_fused_eligible,
+    fused_norm_qkv,
+    fused_out_residual,
+)
+from tinyllama_tpu.ops.pallas.ffn_fused import ffn_fused_normed
+from tinyllama_tpu.runtime.kvcache import init_cache
+
+CFG = tiny_test_config()
+
+
+@pytest.fixture(scope="module", params=["q4", "q8"])
+def qparams(request):
+    policy = DtypePolicy(request.param, "f32", "f32")
+    dense = llama.init_dense_params(CFG, jax.random.PRNGKey(0))
+    return llama.convert_params(dense, policy), policy
+
+
+def _x(B=1, T=1, seed=1):
+    return jax.random.normal(
+        jax.random.PRNGKey(seed), (B, T, CFG.n_embd), jnp.float32
+    )
+
+
+def test_fused_norm_qkv_matches_unfused(qparams):
+    params, _ = qparams
+    lw = params["layers"]
+    x = _x()
+    li = jnp.int32(1)
+    nw = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (CFG.n_embd,)))
+    got = fused_norm_qkv(x, nw, lw["wqkv"], li, CFG.norm_eps,
+                         CFG.norm_eps_inside_sqrt, interpret=True)
+    h = rms_norm(x, nw, CFG.norm_eps, CFG.norm_eps_inside_sqrt)
+    want = linear(h, lw["wqkv"], use_pallas=False, layer=li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_out_residual_matches_unfused(qparams):
+    params, _ = qparams
+    lw = params["layers"]
+    attn = _x(seed=3)
+    res = _x(seed=4)
+    li = jnp.int32(0)
+    got = fused_out_residual(attn, res, lw["wo"], li, interpret=True)
+    want = res + linear(attn, lw["wo"], use_pallas=False, layer=li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ffn_fused_normed_matches_unfused(qparams):
+    params, _ = qparams
+    lw = params["layers"]
+    x = _x(seed=5)
+    li = jnp.int32(1)
+    nw = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (CFG.n_embd,)))
+    got = ffn_fused_normed(x, nw, lw["w_gateup"], lw["w_down"], li, CFG,
+                           interpret=True)
+
+    h = rms_norm(x, nw, CFG.norm_eps, CFG.norm_eps_inside_sqrt)
+    gu = linear(h, lw["w_gateup"], use_pallas=False, layer=li)
+    gate, up = gu[..., : CFG.n_ffn], gu[..., CFG.n_ffn:]
+    inner = jax.nn.silu(gate) * up
+    want = x + linear(inner, lw["w_down"], use_pallas=False, layer=li)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_fused_forward_matches_fallback(qparams):
+    """End-to-end: the pallas forward (which auto-selects the fused layer
+    path at T=1) must match the XLA fallback forward on the same cache."""
+    params, policy = qparams
+    assert decode_fused_eligible(
+        CFG, params["layers"], 1, None, False, jnp.int32(0)
+    )
+    tokens = jnp.asarray([[5]], jnp.int32)
+    pos = jnp.zeros((1,), jnp.int32)
+
+    h_pal, _ = llama.forward(
+        CFG, policy, params, tokens, init_cache(CFG, 1, "f32"), pos,
+        use_pallas=True,
+    )
+    h_ref, _ = llama.forward(
+        CFG, policy, params, tokens, init_cache(CFG, 1, "f32"), pos,
+        use_pallas=False,
+    )
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_decode_sequence_matches_fallback(qparams):
+    """Multi-step greedy decode through the fused path tracks the
+    fallback (same tokens over 12 steps)."""
+    params, policy = qparams
+    from tinyllama_tpu.config import GenerationConfig
+    from tinyllama_tpu.runtime.engine import Engine
+
+    gen = GenerationConfig(n_predict=16, greedy=True, eos_token=-1)
+    prompt = [3, 7, 1]
+    want, _ = Engine(CFG, policy, params, use_pallas=False).generate(
+        prompt, gen
+    )
+    got, _ = Engine(CFG, policy, params, use_pallas=True).generate(
+        prompt, gen
+    )
+    assert got == want

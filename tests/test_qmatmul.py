@@ -131,3 +131,32 @@ def test_aq8_activation_quantized_dots(kind):
     # actually switches the math)
     wo = qmatmul(x, qt, out_dtype=jnp.float32, aq8=False, interpret=True)
     assert not np.array_equal(np.asarray(out), np.asarray(wo))
+
+
+def test_lm_head_vocab_pad_exact():
+    """pad_lm_head_vocab must leave logits bit-identical: zero scales null
+    the pad columns (q4's -7 offset is scale-multiplied) and
+    lm_head_logits slices back to the embedding's vocab size."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.config import DtypePolicy, tiny_test_config
+    from tinyllama_tpu.models import llama
+
+    # ragged vocab like the real model's 32003
+    cfg = tiny_test_config(n_vocab=515)
+    for kind in ("q4", "q8"):
+        policy = DtypePolicy(kind, "f32", "f32")
+        params = llama.convert_params(
+            llama.init_dense_params(cfg, jax.random.PRNGKey(0)), policy
+        )
+        padded = llama.pad_lm_head_vocab(params, multiple=512)
+        assert padded["lm_head"].data.shape[-1] == 1024
+        h = jax.random.normal(jax.random.PRNGKey(1), (3, cfg.n_embd),
+                              jnp.float32)
+        want = llama.lm_head_logits(params, h, use_pallas=True)
+        got = llama.lm_head_logits(padded, h, use_pallas=True)
+        assert got.shape == (3, cfg.n_vocab)
+        import numpy as np
+
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

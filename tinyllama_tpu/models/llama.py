@@ -35,7 +35,16 @@ from tinyllama_tpu.ops.linear import (
     linear_f32_out,
 )
 from tinyllama_tpu.ops.norms import rms_norm
-from tinyllama_tpu.ops.pallas.ffn_fused import ffn_fused, ffn_fused_eligible
+from tinyllama_tpu.ops.pallas.decode_fused import (
+    decode_fused_eligible,
+    fused_norm_qkv,
+    fused_out_residual,
+)
+from tinyllama_tpu.ops.pallas.ffn_fused import (
+    ffn_fused,
+    ffn_fused_eligible,
+    ffn_fused_normed,
+)
 from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
 from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 from tinyllama_tpu.ops.rope import apply_rope, rope_table
@@ -166,8 +175,22 @@ def _block(
     def _reduce(y):
         return jax.lax.psum(y, tp_axis) if tp_axis else y
 
-    h = rms_norm(x, lp["attn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
-    qkv = linear(h, lp["wqkv"], use_pallas, layer, aq8)
+    # decode fast path: norms and residuals fused into the weight-
+    # streaming kernels (ops/pallas/decode_fused.py) — the per-layer XLA
+    # glue (2 norms, 2 residual adds, their HBM round-trips) vanishes
+    fused = use_pallas and decode_fused_eligible(
+        cfg, lp, B * T, tp_axis, aq8, layer
+    )
+
+    if fused:
+        qkv = fused_norm_qkv(
+            x, lp["attn_norm"], lp["wqkv"], li, cfg.norm_eps,
+            cfg.norm_eps_inside_sqrt,
+        )
+    else:
+        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps,
+                     cfg.norm_eps_inside_sqrt)
+        qkv = linear(h, lp["wqkv"], use_pallas, layer, aq8)
     q = qkv[..., : H * d].reshape(B, T, H, d)
     k = qkv[..., H * d : (H + Kh) * d].reshape(B, T, Kh, d)
     v = qkv[..., (H + Kh) * d :].reshape(B, T, Kh, d)
@@ -197,7 +220,16 @@ def _block(
             k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
     attn = attn.reshape(B, T, H * d).astype(x.dtype)
-    x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer, aq8))
+    if fused:
+        x = fused_out_residual(attn, x, lp["wo"], li)
+        if ffn_fused_eligible(cfg, lp["w_gateup"], lp["w_down"], B * T):
+            # x + FFN(rms_norm(x)) in one segmented-grid kernel: the
+            # [B, n_ffn] intermediate lives in VMEM scratch, never HBM
+            return ffn_fused_normed(
+                x, lp["ffn_norm"], lp["w_gateup"], lp["w_down"], li, cfg
+            ), cache
+    else:
+        x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer, aq8))
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
     if (
@@ -277,11 +309,43 @@ def forward(
     return x, cache
 
 
+def pad_lm_head_vocab(params: Params, multiple: int = 2048) -> Params:
+    """Pad a quantized kn-layout lm_head's vocab dim (32003 -> 32768) with
+    zero data + zero scales so every kernel N-tile is whole — Pallas's
+    masked ragged boundary block costs a full grid step whose thin DMA
+    rows stream poorly (see qmatmul._pick_bn). Zero scales null the pad
+    columns exactly (q4's -7 offset is scale-multiplied too), and
+    lm_head_logits slices them back off, so samplers never see pad ids.
+    Applied at Engine param-prep time: checkpoints, converters, the CPU
+    fallback, and the parity emulator all keep the exact 32003 shape."""
+    lm = params["lm_head"]
+    if not (isinstance(lm, QTensor) and lm.layout == "kn"):
+        return params
+    N = lm.data.shape[-1]
+    pad = (-N) % multiple
+    if not pad:
+        return params
+    widths = [(0, 0)] * (lm.data.ndim - 1) + [(0, pad)]
+    return {
+        **params,
+        "lm_head": QTensor(
+            data=jnp.pad(lm.data, widths),
+            scales=jnp.pad(lm.scales, widths),
+            kind=lm.kind, layout=lm.layout,
+        ),
+    }
+
+
 def lm_head_logits(
     params: Params, hidden: jnp.ndarray, use_pallas: bool = False,
     aq8: bool = False,
 ) -> jnp.ndarray:
     """Project hidden rows [B, D] to f32 logits [B, n_vocab]
     (gten/modules.cpp:65-81: lm_head activations are always f32). The
-    matmul runs in the activation dtype with f32 accumulation."""
-    return linear_f32_out(hidden, params["lm_head"], use_pallas, aq8)
+    matmul runs in the activation dtype with f32 accumulation. A
+    vocab-padded lm_head (pad_lm_head_vocab) is sliced back to the
+    embedding table's true vocab size."""
+    logits = linear_f32_out(hidden, params["lm_head"], use_pallas, aq8)
+    emb = params["embed"]
+    V = emb.data.shape[0] if isinstance(emb, QTensor) else emb.shape[0]
+    return logits[..., :V] if logits.shape[-1] != V else logits

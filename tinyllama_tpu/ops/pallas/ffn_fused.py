@@ -40,6 +40,18 @@ from tinyllama_tpu.ops.pallas.qmatmul import (
 from tinyllama_tpu.quant.codec import BLOCK_SIZE, KN_GROUP, Q4_OFFSET, QTensor
 
 
+def _rms_normed(xf: jnp.ndarray, w: jnp.ndarray, eps: float,
+                inside: bool) -> jnp.ndarray:
+    """In-kernel f32 rms_norm matching ops/norms.py exactly (both eps
+    conventions: gten adds eps outside the sqrt, HF inside)."""
+    ms = jnp.mean(xf * xf, axis=1, keepdims=True)
+    if inside:
+        nrm = xf * jax.lax.rsqrt(ms + eps)
+    else:
+        nrm = xf / (jnp.sqrt(ms) + eps)
+    return nrm * w
+
+
 def _block_dot_q(x, w_raw, s, kind: str, compute_dtype):
     """The small-M integer blockdot of qmatmul's decode variant, over
     already-loaded tile VALUES: x [bm, bk], w_raw (packed) [..], s f32
@@ -85,11 +97,26 @@ def _block_dot_q(x, w_raw, s, kind: str, compute_dtype):
 
 
 def _ffn_fused_kernel(
-    li_ref, x_ref, gu_ref, gus_ref, wd_ref, wds_ref, o_ref,
-    gacc, uacc, act,
-    *, kind: str, compute_dtype, n_i: int, n_k: int, n_kd: int,
+    *refs,
+    kind: str, compute_dtype, n_i: int, n_k: int, n_kd: int,
     bk_gu: int, bk_d: int, bn_gu: int, F: int,
+    eps: float = 0.0, inside: bool = False,
 ):
+    """Two layouts (fuse_norm selected by ref count):
+
+    plain: li, x(normed), gu, gus, wd, wds -> o | gacc, uacc, act
+    normed+residual: li, x(UNNORMED), nw, gu, gus, wd, wds -> o
+        | gacc, uacc, act, nx — rms_norm lands in the nx scratch on the
+        first step and the down accumulator is seeded with x (residual).
+    """
+    if len(refs) == 10:
+        li_ref, x_ref, gu_ref, gus_ref, wd_ref, wds_ref, o_ref = refs[:7]
+        gacc, uacc, act = refs[7:]
+        nw_ref = nx = None
+    else:
+        (li_ref, x_ref, nw_ref, gu_ref, gus_ref, wd_ref, wds_ref,
+         o_ref) = refs[:8]
+        gacc, uacc, act, nx = refs[8:]
     t = pl.program_id(0)
     N_GU = n_i * 2 * n_k
     sub = t % (2 * n_k)
@@ -100,13 +127,24 @@ def _ffn_fused_kernel(
     is_gate = in_gu & (sub < n_k)
     is_up = in_gu & (sub >= n_k)
 
+    if nx is not None:
+        @pl.when(t == 0)
+        def _():
+            nx[:] = _rms_normed(x_ref[:].astype(jnp.float32), nw_ref[:],
+                                eps, inside)
+
+    def x_slice(k0, bk):
+        if nx is None:
+            return x_ref[:, pl.ds(k0, bk)]
+        return nx[:, pl.ds(k0, bk)].astype(compute_dtype)
+
     @pl.when(is_gate)
     def _():
         @pl.when(k == 0)
         def _():
             gacc[:] = jnp.zeros_like(gacc)
 
-        x = x_ref[:, pl.ds(k * bk_gu, bk_gu)]
+        x = x_slice(k * bk_gu, bk_gu)
         s = _load_scales(gus_ref)
         gacc[:] += _block_dot_q(x, gu_ref[:], s, kind, compute_dtype)
 
@@ -116,7 +154,7 @@ def _ffn_fused_kernel(
         def _():
             uacc[:] = jnp.zeros_like(uacc)
 
-        x = x_ref[:, pl.ds(k * bk_gu, bk_gu)]
+        x = x_slice(k * bk_gu, bk_gu)
         s = _load_scales(gus_ref)
         uacc[:] += _block_dot_q(x, gu_ref[:], s, kind, compute_dtype)
 
@@ -132,7 +170,11 @@ def _ffn_fused_kernel(
 
         @pl.when(kd == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
+            if nx is None:
+                o_ref[:] = jnp.zeros_like(o_ref)
+            else:
+                # the residual seeds the down accumulator: out = x + ffn
+                o_ref[:] = x_ref[:].astype(jnp.float32)
 
         xk = act[:, pl.ds(kd * bk_d, bk_d)].astype(compute_dtype)
         s = _load_scales(wds_ref)
@@ -223,6 +265,87 @@ def _ffn_fused(
     )(li, x, gu_data, gu_scales, wd_data, wd_scales)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "D", "F", "bm", "eps", "inside", "interpret"),
+)
+def _ffn_fused_normed(
+    x,  # [bm, D] UNNORMED hidden, compute dtype
+    nw,  # [1, D] f32 ffn_norm weight
+    gu_data, gu_scales,
+    wd_data, wd_scales,
+    li,
+    kind: str, D: int, F: int, bm: int, eps: float, inside: bool,
+    interpret: bool,
+):
+    """Normed+residual variant: returns x + down(silu(gate(n)) * up(n))
+    where n = rms_norm(x), all in ONE segmented-grid call."""
+    compute_dtype = x.dtype
+    bn_gu = _pick_bn(F)
+    n_i = F // bn_gu
+    bk_gu = _pick_bk(D, bn_gu, kind)
+    n_k = D // bk_gu
+    bk_d = _pick_bk(F, D, kind)
+    n_kd = F // bk_d
+    N_GU = n_i * 2 * n_k
+    n_steps = N_GU + n_kd
+    denom = 2 if kind == "q4" else 1
+
+    def gu_map(t, li):
+        tt = jnp.minimum(t, N_GU - 1)
+        i = tt // (2 * n_k)
+        which = (tt % (2 * n_k)) // n_k
+        k = tt % n_k
+        return (li[0], k, which * n_i + i)
+
+    def wd_map(t, li):
+        kd = jnp.clip(t - N_GU, 0, n_kd - 1)
+        return (li[0], kd, 0)
+
+    kernel = functools.partial(
+        _ffn_fused_kernel, kind=kind, compute_dtype=compute_dtype, n_i=n_i,
+        n_k=n_k, n_kd=n_kd, bk_gu=bk_gu, bk_d=bk_d, bn_gu=bn_gu, F=F,
+        eps=eps, inside=inside,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((bm, D), lambda t, li: (0, 0)),
+            pl.BlockSpec((1, D), lambda t, li: (0, 0)),
+            pl.BlockSpec((None, bk_gu // denom, bn_gu), gu_map),
+            pl.BlockSpec((None, bk_gu // BLOCK_SIZE, bn_gu), gu_map),
+            pl.BlockSpec((None, bk_d // denom, D), wd_map),
+            pl.BlockSpec((None, bk_d // BLOCK_SIZE, D), wd_map),
+        ],
+        out_specs=pl.BlockSpec((bm, D), lambda t, li: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn_gu), jnp.float32),  # gate accumulator
+            pltpu.VMEM((bm, bn_gu), jnp.float32),  # up accumulator
+            pltpu.VMEM((bm, F), jnp.float32),  # silu(gate)*up hidden
+            pltpu.VMEM((bm, D), jnp.float32),  # normed input
+        ],
+    )
+    bytes_w = (
+        (gu_data.size + wd_data.size) // gu_data.shape[0]
+        + (gu_scales.size + wd_scales.size) * 2 // gu_scales.shape[0]
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bm, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bm * (2 * F * D + F * D),
+            bytes_accessed=bytes_w,
+            transcendentals=bm * F,
+        ),
+        interpret=interpret,
+    )(li, x, nw, gu_data, gu_scales, wd_data, wd_scales)
+
+
 def ffn_fused(
     h: jnp.ndarray,  # [B, T, D] normed input, compute dtype
     wgu: QTensor,  # stacked [L, ...] kn
@@ -248,3 +371,33 @@ def ffn_fused(
         wgu.kind, D, cfg.n_ffn, bm, interpret,
     )
     return out[:M].reshape(B, T, D).astype(h.dtype)
+
+
+def ffn_fused_normed(
+    x: jnp.ndarray,  # [B, T, D] UNNORMED block state, compute dtype
+    norm_w: jnp.ndarray,  # [D] f32 ffn_norm weight
+    wgu: QTensor,
+    wdown: QTensor,
+    li: jnp.ndarray,
+    cfg,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """x + FFN(rms_norm(x)) in one call; returns [B, T, D] in x.dtype.
+
+    Caller must have checked ffn_fused_eligible."""
+    B, T, D = x.shape
+    M = B * T
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x2 = x.reshape(M, D)
+    bm = _SMALL_M
+    if M < bm:
+        x2 = jnp.pad(x2, ((0, bm - M), (0, 0)))
+    out = _ffn_fused_normed(
+        x2, norm_w.astype(jnp.float32).reshape(1, D),
+        wgu.data, wgu.scales, wdown.data, wdown.scales,
+        jnp.reshape(li, (1,)).astype(jnp.int32),
+        wgu.kind, D, cfg.n_ffn, bm, float(cfg.norm_eps),
+        bool(cfg.norm_eps_inside_sqrt), interpret,
+    )
+    return out[:M].reshape(B, T, D).astype(x.dtype)

@@ -6,11 +6,16 @@ dense score buffer per step). Here the cache lives in a shared page pool
 (runtime/paged.py: k/v [L, n_pages, Kh, P, d]) and the kernel walks a
 sequence's pages through its page table:
 
-* grid (B, Kh, J): one step per (sequence, kv-head, page). The page's
-  physical id comes from the scalar-prefetched table inside the BlockSpec
-  index map — `table[b, min(j, last_page(b))]`. Past the fill the index
-  repeats the last page, so Pallas skips the DMA: decode-attention HBM
-  traffic tracks each sequence's *fill*, not max_ctx.
+* grid (B, J): one step per (sequence, page), ALL kv-heads per step —
+  one strided DMA brings the page's whole [Kh, P, d] slab (a single
+  contiguous run in the pool layout) and the kernel loops the Kh heads'
+  dots in-register; vs a per-(b, head, page) grid this cuts grid steps
+  and DMA count by Kh, which dominates at decode where each page's dots
+  are latency-bound. The page's physical id comes from the scalar-
+  prefetched table inside the BlockSpec index map —
+  `table[b, min(j, last_page(b))]`. Past the fill the index repeats the
+  last page, so Pallas skips the DMA: decode-attention HBM traffic
+  tracks each sequence's *fill*, not max_ctx.
 * online softmax across pages: running (max, denom, weighted-V) state in
   VMEM scratch, initialized at j == 0, output written at the last page.
 * int8 pages dequantize by folding per-position k-scales into the scores
@@ -41,11 +46,10 @@ def _flash_paged_kernel(
         ks_ref = vs_ref = None
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    j = pl.program_id(2)
-    n_pages = pl.num_programs(2)
-    G, d = q_ref.shape
-    P = k_ref.shape[0]
+    j = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+    Kh, G, d = q_ref.shape
+    P = k_ref.shape[1]
 
     @pl.when(j == 0)
     def _():
@@ -57,45 +61,53 @@ def _flash_paged_kernel(
     last_page = pos // P
 
     # beyond-fill pages skip the ENTIRE body (their DMA was already
-    # skipped by the repeated block index): at B x Kh x J grid steps the
+    # skipped by the repeated block index): at B x J grid steps the
     # masked-but-executed dots would otherwise dominate low-fill decode
     @pl.when(j <= last_page)
     def _():
-        q = q_ref[:].astype(compute_dtype)
-        scores = jax.lax.dot_general(
-            q, k_ref[:].astype(compute_dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (1.0 / (d ** 0.5))  # [G, P]
-        if ks_ref is not None:
-            scores = scores * ks_ref[pl.ds(h, 1), :]
-
         key_pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
         ok = key_pos <= pos
-        scores = jnp.where(ok, scores, NEG_INF)
+        for h in range(Kh):  # static unroll: one page DMA, Kh heads' dots
+            rows = slice(h * G, (h + 1) * G)
+            q = q_ref[h].astype(compute_dtype)
+            scores = jax.lax.dot_general(
+                q, k_ref[h].astype(compute_dtype),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / (d ** 0.5))  # [G, P]
+            if ks_ref is not None:
+                scores = scores * ks_ref[pl.ds(h, 1), :]
 
-        m_prev = m_ref[:, :1]  # [G, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)  # [G, 1]
-        p = jnp.exp(scores - m_new)  # [G, P]
-        p = jnp.where(ok, p, 0.0)
-        l_new = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        if vs_ref is not None:
-            p = p * vs_ref[pl.ds(h, 1), :]
-        pv = jax.lax.dot_general(
-            p.astype(compute_dtype), v_ref[:].astype(compute_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, d]
-        acc_ref[:] = acc_ref[:] * alpha + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+            scores = jnp.where(ok, scores, NEG_INF)
+
+            m_prev = m_ref[rows, :1]  # [G, 1]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(scores, axis=1, keepdims=True)
+            )
+            alpha = jnp.exp(m_prev - m_new)  # [G, 1]
+            p = jnp.exp(scores - m_new)  # [G, P]
+            p = jnp.where(ok, p, 0.0)
+            l_new = l_ref[rows, :1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True
+            )
+            if vs_ref is not None:
+                p = p * vs_ref[pl.ds(h, 1), :]
+            pv = jax.lax.dot_general(
+                p.astype(compute_dtype), v_ref[h].astype(compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, d]
+            acc_ref[rows] = acc_ref[rows] * alpha + pv
+            m_ref[rows] = jnp.broadcast_to(m_new, (G, m_ref.shape[1]))
+            l_ref[rows] = jnp.broadcast_to(l_new, (G, l_ref.shape[1]))
 
     @pl.when(j == n_pages - 1)
     def _():
         denom = l_ref[:, :1]
         denom = jnp.where(denom > 0.0, denom, 1.0)
-        o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(
+            o_ref.dtype
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -109,26 +121,23 @@ def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
     def page(b, j, pos_ref, tbl_ref):
         return tbl_ref[b, jnp.minimum(j, pos_ref[b] // P)]
 
-    grid = (B, Kh, J)
+    grid = (B, J)
     in_specs = [
-        pl.BlockSpec((None, None, G, d),
-                     lambda b, h, j, li, pos, tbl: (b, h, 0, 0)),
+        pl.BlockSpec((None, Kh, G, d), lambda b, j, li, pos, tbl: (b, 0, 0, 0)),
         pl.BlockSpec(
-            (None, None, None, P, d),
-            lambda b, h, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), h,
-                                           0, 0),
+            (None, None, Kh, P, d),
+            lambda b, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), 0, 0, 0),
         ),
         pl.BlockSpec(
-            (None, None, None, P, d),
-            lambda b, h, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), h,
-                                           0, 0),
+            (None, None, Kh, P, d),
+            lambda b, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), 0, 0, 0),
         ),
     ]
     operands = [q, ck, cv]
     if quant:
         scale_spec = pl.BlockSpec(
             (None, None, Kh, P),
-            lambda b, h, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), 0, 0),
+            lambda b, j, li, pos, tbl: (li[0], page(b, j, pos, tbl), 0, 0),
         )
         in_specs += [scale_spec, scale_spec]
         operands += [ck_s, cv_s]
@@ -137,12 +146,12 @@ def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, None, G, d),
-                               lambda b, h, j, li, pos, tbl: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((None, Kh, G, d),
+                               lambda b, j, li, pos, tbl: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G, 128), jnp.float32),  # running max
-            pltpu.VMEM((G, 128), jnp.float32),  # running denom
-            pltpu.VMEM((G, d), jnp.float32),  # weighted-V accumulator
+            pltpu.VMEM((Kh * G, 128), jnp.float32),  # running max
+            pltpu.VMEM((Kh * G, 128), jnp.float32),  # running denom
+            pltpu.VMEM((Kh * G, d), jnp.float32),  # weighted-V accumulator
         ],
     )
     out = pl.pallas_call(
@@ -150,7 +159,7 @@ def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Kh * G * J * P * d,

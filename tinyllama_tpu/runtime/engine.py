@@ -106,6 +106,9 @@ class Engine:
             use_pallas = jax.default_backend() == "tpu" and policy.is_quantized
         self.use_pallas = use_pallas
         self.paged = paged
+        if use_pallas:
+            # whole lm_head N-tiles on the kernel path (models/llama.py)
+            self.params = llama.pad_lm_head_vocab(self.params)
         self.rope_tables = rope_table(self.max_ctx, cfg.d_head, cfg.rope_theta)
         self.cache_sharding = cache_sharding
         self.tp = tp

@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     ap.add_argument("--policy", default="q4")
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--paged", action="store_true",
+                    help="profile the paged-KV decode path")
     ap.add_argument("--model", default="tinyllama-1.1b-chat-v0.4")
     ap.add_argument("--prefill", type=int, default=0,
                     help="profile one prefill of this length instead of decode")
@@ -55,7 +57,8 @@ def main(argv=None) -> int:
     params = jax.block_until_ready(llama.convert_params(dense, policy))
     del dense
 
-    engine = Engine(cfg, policy, params, max_batch=args.batch)
+    engine = Engine(cfg, policy, params, max_batch=args.batch,
+                    paged=args.paged)
 
     if args.prefill:
         prompts = [list(range(2, 2 + args.prefill))] * args.batch
@@ -73,7 +76,7 @@ def main(argv=None) -> int:
         prompts = [list(range(2, 34))] * args.batch
         cache = engine.new_cache(args.batch)
         logits, cache, lens = engine.prefill(cache, prompts)
-        chunk = engine._chunk_fn(args.steps, True, 50)
+        chunk = engine._chunk_fn(args.steps, True, 50, paged=args.paged)
         pos = jnp.asarray(lens, jnp.int32)
         key = jax.random.PRNGKey(0)
         eos, temp = jnp.int32(-1), jnp.float32(1.0)
