@@ -162,3 +162,67 @@ def test_engine_tp_generate_batch():
                  mesh=make_mesh(tp=4, dp=1), use_pallas=False)
     got, _ = eng.generate_batch(prompts, gen)
     assert got == want
+
+
+class TestTpOverlap:
+    """--tp-overlap: ring reduce-scatter + all-gather replacing the two
+    per-block psums, with matmul chunks interleaved between ppermute
+    hops (parallel/tp.py ring_row_parallel)."""
+
+    def _engines(self, tp_overlap):
+        import jax
+        import jax.numpy as jnp
+
+        from tinyllama_tpu.config import DtypePolicy, tiny_test_config
+        from tinyllama_tpu.models import llama
+        from tinyllama_tpu.runtime.engine import Engine
+
+        cfg = tiny_test_config(n_heads=8, n_kv_heads=4, n_embd=256,
+                               n_ffn=512)
+        policy = DtypePolicy("q8", "f32", "f32")
+        params = llama.convert_params(
+            llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32),
+            policy,
+        )
+        return cfg, Engine(cfg, policy, params, tp=4, use_pallas=False,
+                           tp_overlap=tp_overlap)
+
+    def test_overlap_matches_psum_baseline(self):
+        from tinyllama_tpu.config import GenerationConfig
+
+        gen = GenerationConfig(n_predict=24, greedy=True, eos_token=-2,
+                               chunk_size=4)
+        prompt = list(range(2, 14))
+        _, base = self._engines(False)
+        want, _ = base.generate(prompt, gen)
+        _, ovl = self._engines(True)
+        got, _ = ovl.generate(prompt, gen)
+        assert got == want
+
+    def test_collectives_interleave_with_compute(self):
+        """Structure proof: the lowered decode step must contain the ring
+        (2*(tp-1) collective-permutes per layer scan body) and between
+        consecutive permute hops there must be compute (the next chunk's
+        matmul) — i.e. permutes are NOT back-to-back, unlike a bare
+        all-reduce decomposition."""
+        import jax.numpy as jnp
+
+        cfg, eng = self._engines(True)
+        step = eng._step_fn(1)
+        import jax
+
+        cache = eng.new_cache(1)
+        args = (eng.params, cache, jnp.zeros((1, 1), jnp.int32),
+                jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+        hlo = jax.jit(step).lower(*args).as_text()
+        n_perm = hlo.count("stablehlo.collective_permute")
+        # scan body: 2 rings x (tp-1)=3 hops each
+        assert n_perm >= 6, f"expected ring ppermutes, found {n_perm}"
+        assert "stablehlo.all_gather" in hlo
+        # interleaving: the next chunk's matmul sits between permute
+        # hops (a bare psum decomposition would have none)
+        first = hlo.find("stablehlo.collective_permute")
+        last = hlo.rfind("stablehlo.collective_permute")
+        between = hlo[first:last]
+        assert between.count("stablehlo.dot_general") >= n_perm - 2, \
+            "no compute between permute hops"

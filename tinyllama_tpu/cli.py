@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="context window override")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (shards weights/KV on a mesh)")
+    p.add_argument("--tp-overlap", action="store_true",
+                   help="overlap TP all-reduces with compute: the two "
+                        "per-block psums become chunked reduce-scatter "
+                        "rings whose ppermute hops ride concurrently "
+                        "with the next chunk's matmul")
     p.add_argument("--tp-mode", default="shard_map",
                    choices=("shard_map", "gspmd"),
                    help="TP execution path: shard_map (explicit collectives; "
@@ -202,6 +207,7 @@ def main(argv=None) -> int:
         cache_sharding=cache_sharding,
         tp=tp,
         paged=args.paged,
+        tp_overlap=args.tp_overlap,
     )
 
     tok_path = args.tokenizer or (

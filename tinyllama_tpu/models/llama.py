@@ -161,6 +161,7 @@ def _block(
     layer=None,  # == li iff lp's matmul weights are layer-stacked
     tp_axis: str | None = None,  # shard_map TP: psum after row-parallel mats
     aq8: bool = False,
+    tp_overlap: int = 0,  # != 0: ring-overlapped all-reduce of that width
 ):
     """One pre-norm transformer block (gten/modules.cpp:224-254).
 
@@ -174,6 +175,18 @@ def _block(
 
     def _reduce(y):
         return jax.lax.psum(y, tp_axis) if tp_axis else y
+
+    def _row_linear(y, name):
+        """Row-parallel matmul + all-reduce: a bare psum, or the chunked
+        ring with compute interleaved (parallel/tp.py ring_row_parallel,
+        --tp-overlap; weights then carry chunk-stacked [L*tp, ..])."""
+        if tp_overlap:
+            from tinyllama_tpu.parallel.tp import ring_row_parallel
+
+            return ring_row_parallel(
+                y, lp[name], li, tp_axis, tp_overlap, use_pallas
+            )
+        return _reduce(linear(y, lp[name], use_pallas, layer, aq8))
 
     # decode fast path: norms and residuals fused into the weight-
     # streaming kernels (ops/pallas/decode_fused.py) — the per-layer XLA
@@ -229,7 +242,7 @@ def _block(
                 x, lp["ffn_norm"], lp["w_gateup"], lp["w_down"], li, cfg
             ), cache
     else:
-        x = x + _reduce(linear(attn, lp["wo"], use_pallas, layer, aq8))
+        x = x + _row_linear(attn, "wo")
 
     h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
     if (
@@ -244,10 +257,8 @@ def _block(
         gate = gate_up[..., : cfg.n_ffn]
         up = gate_up[..., cfg.n_ffn :]
         # SwiGLU: silu(gate) * up -> down (modules.cpp:238-247)
-        ffn = linear(
-            jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up,
-            lp["w_down"], use_pallas, layer, aq8,
-        )
+        inner = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        return x + _row_linear(inner, "w_down"), cache
     return x + _reduce(ffn), cache
 
 
@@ -261,6 +272,7 @@ def forward(
     rope_tables: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     use_pallas: bool = False,
     tp_axis: str | None = None,
+    tp_overlap: int = 0,
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run the model over T new tokens per sequence.
 
@@ -295,7 +307,7 @@ def forward(
         x, cache = _block(
             cfg, x, lp, cache, li, pos, q_positions, cos, sin,
             use_pallas, layer=li if stacked else None, tp_axis=tp_axis,
-            aq8=policy.aq8,
+            aq8=policy.aq8, tp_overlap=tp_overlap,
         )
         return (x, cache), None
 

@@ -109,6 +109,84 @@ def tp_permute_params(params: llama.Params, cfg: ModelConfig, tp: int):
     return {**params, "layers": layers}
 
 
+def tp_chunk_row_parallel(params: llama.Params, tp: int) -> llama.Params:
+    """Re-stack the row-parallel weights (wo, w_down) for the overlapped
+    ring all-reduce (`ring_row_parallel`): the output dim N splits into
+    tp column chunks and the chunks stack onto the layer axis —
+    [L, K, N] -> [L*tp, K, N/tp], so the Pallas kernel's existing
+    scalar-prefetch layer indexing addresses (layer, chunk) pairs as
+    ``li * tp + j`` with zero per-step HBM slicing. One-time physical
+    relayout at param-prep; dequantized values are untouched (column
+    grouping commutes with per-row block quantization)."""
+    if tp == 1:
+        return params
+    layers = dict(params["layers"])
+    for name in _ROW:
+        w = layers[name]
+
+        def chunk(a):
+            L, R, N = a.shape
+            assert N % tp == 0, (name, N, tp)
+            return (
+                a.reshape(L, R, tp, N // tp)
+                .transpose(0, 2, 1, 3)
+                .reshape(L * tp, R, N // tp)
+            )
+
+        if isinstance(w, QTensor):
+            assert w.layout == "kn"
+            layers[name] = QTensor(
+                data=chunk(w.data), scales=chunk(w.scales),
+                kind=w.kind, layout=w.layout,
+            )
+        else:
+            # dense [L, N, K]: chunk the output rows
+            L, N, K = w.shape
+            layers[name] = (
+                w.reshape(L, tp, N // tp, K).reshape(L * tp, N // tp, K)
+            )
+    return {**params, "layers": layers}
+
+
+def ring_row_parallel(
+    x: jnp.ndarray,  # [..., K_local] activations
+    w: QTensor | jnp.ndarray,  # chunk-stacked ([L*tp, ..]) row-parallel weight
+    li: jnp.ndarray,  # layer index
+    axis: str,
+    tp: int,
+    use_pallas: bool,
+) -> jnp.ndarray:
+    """Row-parallel linear + all-reduce as a compute-interleaved
+    reduce-scatter ring (+ final all-gather), replacing the bare psum.
+
+    Each shard computes its local matmul in tp column chunks; the chunk
+    headed for the most distant shard is computed first and the
+    ppermute hop of the partial sum rides concurrently with the next
+    chunk's matmul (XLA's async collective-permute + latency-hiding
+    scheduler overlap them on real ICI — on this box the structure is
+    validated by tests/test_tp.py's HLO interleaving assertion and the
+    CPU-mesh equality dryrun). After tp-1 hops shard s holds the fully
+    reduced chunk s; one tiled all-gather rebuilds the replicated
+    activation row. Collective payload per hop is 1/tp of the psum's.
+    """
+    from tinyllama_tpu.ops.linear import linear
+
+    me = jax.lax.axis_index(axis)
+
+    def mm(j):
+        return linear(x, w, use_pallas, layer=li * tp + j)
+
+    # receive from the right neighbor each hop
+    perm = [(i, (i - 1) % tp) for i in range(tp)]
+    acc = mm((me + 1) % tp)
+    for step in range(tp - 1):
+        acc = jax.lax.ppermute(acc, axis, perm)
+        acc = acc + mm((me + step + 2) % tp)
+    # acc == sum over shards of chunk `me`; chunks concatenate in shard
+    # order, which is chunk order
+    return jax.lax.all_gather(acc, axis, axis=x.ndim - 1, tiled=True)
+
+
 def param_partition_specs(params: llama.Params) -> "llama.Params":
     """PartitionSpec pytree for tp_permute_params output (shard_map
     in_specs / NamedSharding placement)."""

@@ -96,6 +96,7 @@ class Engine:
         tp: int = 1,
         mesh=None,
         paged: bool = False,
+        tp_overlap: bool = False,
     ):
         self.cfg = cfg
         self.policy = policy
@@ -113,6 +114,7 @@ class Engine:
         self.cache_sharding = cache_sharding
         self.tp = tp
         self.mesh = mesh
+        self.tp_overlap = tp if (tp > 1 and tp_overlap) else 0
         if tp > 1:
             from tinyllama_tpu.parallel import tp as tpmod
             from tinyllama_tpu.parallel.mesh import batch_axes, make_mesh
@@ -120,6 +122,9 @@ class Engine:
             if self.mesh is None:
                 self.mesh = make_mesh(tp=tp)
             self.params = tpmod.tp_permute_params(self.params, cfg, tp)
+            if self.tp_overlap:
+                # chunk-stack wo/w_down for the ring all-reduce
+                self.params = tpmod.tp_chunk_row_parallel(self.params, tp)
             self._pspecs = tpmod.param_partition_specs(self.params)
             self.params = tpmod.place(self.mesh, self.params, self._pspecs)
             self._batch_axes = batch_axes(self.mesh)
@@ -222,12 +227,12 @@ class Engine:
 
         cfg, policy, use_pallas = self._fwd_cfg, self.policy, self.use_pallas
         rope_tables = self.rope_tables
-        tp_axis = self._tp_axis
+        tp_axis, tp_overlap = self._tp_axis, self.tp_overlap
 
         def step(params, cache, tokens, pos, last):
             hidden, cache = llama.forward(
                 cfg, policy, params, tokens, cache, pos, rope_tables,
-                use_pallas, tp_axis=tp_axis,
+                use_pallas, tp_axis=tp_axis, tp_overlap=tp_overlap,
             )
             # gather the last valid hidden row per sequence: [B, D]
             h_last = jnp.take_along_axis(
@@ -304,7 +309,7 @@ class Engine:
 
         cfg, policy, use_pallas = self._fwd_cfg, self.policy, self.use_pallas
         rope_tables = self.rope_tables
-        tp_axis = self._tp_axis
+        tp_axis, tp_overlap = self._tp_axis, self.tp_overlap
 
         def chunk(params, cache, logits, pos, key, eos, temperature):
             def body(carry, _):
@@ -321,6 +326,7 @@ class Engine:
                 hidden, cache = llama.forward(
                     cfg, policy, params, tok[:, None], cache, pos,
                     rope_tables, use_pallas, tp_axis=tp_axis,
+                    tp_overlap=tp_overlap,
                 )
                 logits = llama.lm_head_logits(
                     params, hidden[:, 0], use_pallas, policy.aq8
