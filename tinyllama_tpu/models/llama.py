@@ -59,6 +59,11 @@ from tinyllama_tpu.runtime.paged import (
     paged_layer_view,
     update_paged_at_layer,
 )
+from tinyllama_tpu.runtime.staging import (
+    StagedKVCache,
+    staged_layer_view,
+    update_staged_at_layer,
+)
 
 Params = dict[str, Any]
 
@@ -211,7 +216,29 @@ def _block(
     q = apply_rope(q, q_positions, cos, sin)
     k = apply_rope(k, q_positions, cos, sin)
 
-    if isinstance(cache, PagedKVCache):
+    if isinstance(cache, StagedKVCache):
+        # chunked decode (runtime/staging.py): the step's K/V goes into
+        # the chunk-local staging tail — ONE batched DUS per plane
+        # instead of B chained per-row writes — and attention reads
+        # {pool below the chunk base} + {staged tail, masked to the step}
+        cache = update_staged_at_layer(cache, li, k, v, pos)
+        if use_pallas and T == 1:
+            if isinstance(cache.pool, PagedKVCache):
+                from tinyllama_tpu.ops.pallas.flash_paged import (
+                    flash_paged_staged_attention,
+                )
+
+                attn = flash_paged_staged_attention(q, cache, li, pos)
+            else:
+                from tinyllama_tpu.ops.pallas.flash_prefill import (
+                    flash_staged_attention,
+                )
+
+                attn = flash_staged_attention(q, cache, li, pos)
+        else:
+            k_eff, v_eff = staged_layer_view(cache, li, x.dtype)
+            attn = gqa_attention(q, k_eff, v_eff, q_positions)
+    elif isinstance(cache, PagedKVCache):
         cache = update_paged_at_layer(cache, li, k, v, pos)
         if use_pallas and T == 1:
             # page-walking flash decode: DMA cost tracks each row's fill

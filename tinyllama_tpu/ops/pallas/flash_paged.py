@@ -171,6 +171,178 @@ def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
     return out
 
 
+def _flash_paged_staged_kernel(
+    li_ref, npool_ref, ntail_ref, tbl_ref,  # scalar prefetch
+    q_ref, k_ref, v_ref, sk_ref, sv_ref, *rest,
+    compute_dtype,
+):
+    """Pool-page walk + one staged-tail step (see flash_paged_staged).
+
+    Grid (B, J + 1): steps j < J walk the sequence's pool pages (clamped
+    past the pool fill, so their DMAs skip), step j == J attends the
+    chunk-local staging tail (runtime/staging.py) and writes the output.
+    """
+    from tinyllama_tpu.ops.pallas.softmax_update import online_update
+
+    if len(rest) == 8:
+        (ks_ref, vs_ref, sks_ref, svs_ref,
+         o_ref, m_ref, l_ref, acc_ref) = rest
+    else:
+        ks_ref = vs_ref = sks_ref = svs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_steps = pl.num_programs(1)  # J + 1
+    Kh, G, d = q_ref.shape
+    P = k_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_pool = npool_ref[b]  # positions resident in the pool (the chunk base)
+
+    @pl.when((j < n_steps - 1) & (j * P < n_pool))
+    def _():
+        key_pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
+        ok = key_pos < n_pool
+        for h in range(Kh):  # static unroll: one page DMA, Kh heads' dots
+            online_update(
+                q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
+                None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
+                None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
+                ok, slice(h * G, (h + 1) * G), m_ref, l_ref, acc_ref,
+                compute_dtype,
+            )
+
+    @pl.when(j == n_steps - 1)
+    def _():
+        Cs = sk_ref.shape[1]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (G, Cs), 1)
+        ok = slot < ntail_ref[b]
+        for h in range(Kh):
+            online_update(
+                q_ref[h].astype(compute_dtype), sk_ref[h], sv_ref[h],
+                None if sks_ref is None else sks_ref[pl.ds(h, 1), :],
+                None if svs_ref is None else svs_ref[pl.ds(h, 1), :],
+                ok, slice(h * G, (h + 1) * G), m_ref, l_ref, acc_ref,
+                compute_dtype,
+            )
+        denom = l_ref[:, :1]
+        denom = jnp.where(denom > 0.0, denom, 1.0)
+        o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_paged_staged(
+    q, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool, ntail, table,
+    interpret,
+):
+    B, Kh, G, d = q.shape
+    P = ck.shape[3]
+    J = table.shape[1]
+    compute_dtype = q.dtype
+    quant = ck_s is not None
+    Cs = sk.shape[3]
+
+    def page(b, j, li, npool, ntail, tbl):
+        # clamp past-fill (and the tail step's) page index to the last
+        # pool page: the repeated block index skips its DMA entirely
+        return tbl[b, jnp.minimum(j, jnp.maximum(npool[b] - 1, 0) // P)]
+
+    grid = (B, J + 1)
+    pool_spec = pl.BlockSpec(
+        (None, None, Kh, P, d),
+        lambda b, j, li, npool, ntail, tbl:
+        (li[0], page(b, j, li, npool, ntail, tbl), 0, 0, 0),
+    )
+    tail_spec = pl.BlockSpec(
+        (None, None, Kh, Cs, d),
+        lambda b, j, li, npool, ntail, tbl: (li[0], b, 0, 0, 0),
+    )
+    in_specs = [
+        pl.BlockSpec((None, Kh, G, d),
+                     lambda b, j, li, npool, ntail, tbl: (b, 0, 0, 0)),
+        pool_spec, pool_spec, tail_spec, tail_spec,
+    ]
+    operands = [q, ck, cv, sk, sv]
+    if quant:
+        scale_spec = pl.BlockSpec(
+            (None, None, Kh, P),
+            lambda b, j, li, npool, ntail, tbl:
+            (li[0], page(b, j, li, npool, ntail, tbl), 0, 0),
+        )
+        tail_scale_spec = pl.BlockSpec(
+            (None, None, Kh, Cs),
+            lambda b, j, li, npool, ntail, tbl: (li[0], b, 0, 0),
+        )
+        in_specs += [scale_spec, scale_spec, tail_scale_spec,
+                     tail_scale_spec]
+        operands += [ck_s, cv_s, sk_s, sv_s]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (None, Kh, G, d),
+            lambda b, j, li, npool, ntail, tbl: (b, 0, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Kh * G, 128), jnp.float32),  # running max
+            pltpu.VMEM((Kh * G, 128), jnp.float32),  # running denom
+            pltpu.VMEM((Kh * G, d), jnp.float32),  # weighted-V accumulator
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _flash_paged_staged_kernel, compute_dtype=compute_dtype
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Kh * G * (J * P + Cs) * d,
+            bytes_accessed=2 * B * Kh * (J * P + Cs) * d * ck.dtype.itemsize,
+            transcendentals=B * Kh * G * (J * P + Cs),
+        ),
+        interpret=interpret,
+    )(li, npool, ntail, table, *operands)
+
+
+def flash_paged_staged_attention(
+    q: jnp.ndarray,  # [B, 1, H, d] activation dtype
+    st,  # runtime.staging.StagedKVCache over a PagedKVCache
+    li: jnp.ndarray,  # scalar int32 layer index
+    pos: jnp.ndarray,  # [B] int32 position of the new token
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Single-token GQA attention over pool pages + the chunk's staged
+    tail (the new token's k/v already staged at slot pos - base)."""
+    B, T, H, d = q.shape
+    assert T == 1, "flash_paged_staged_attention is the T=1 decode path"
+    pool = st.pool
+    Kh = pool.k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qg = q.reshape(B, Kh, H // Kh, d)
+    li = jnp.reshape(li, (1,)).astype(jnp.int32)
+    npool = st.base.astype(jnp.int32)
+    ntail = (pos - st.base + 1).astype(jnp.int32)
+    out = _flash_paged_staged(
+        qg, pool.k, pool.v, st.sk, st.sv,
+        pool.k_scale, pool.v_scale, st.sk_scale, st.sv_scale,
+        li, npool, ntail, pool.table.astype(jnp.int32), interpret,
+    )
+    return out.reshape(B, 1, H, d).astype(q.dtype)
+
+
 def flash_paged_attention(
     q: jnp.ndarray,  # [B, 1, H, d] activation dtype
     cache,  # PagedKVCache

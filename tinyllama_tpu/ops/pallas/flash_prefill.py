@@ -176,6 +176,174 @@ def _run(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
     )(li, pos, *operands)
 
 
+def _flash_staged_kernel(
+    li_ref, npool_ref, ntail_ref, q_ref, k_ref, v_ref, sk_ref, sv_ref,
+    *rest, compute_dtype, bs: int,
+):
+    """Pool-tile walk + one staged-tail step over the monolithic cache.
+
+    Grid (B, Kh, n_s + 1): steps s < n_s walk the sequence's cache tiles
+    up to the pool fill (clamped past it, skipping their DMA), step
+    s == n_s attends the chunk-local staging tail (runtime/staging.py)
+    and writes the output. T == 1 decode only: every query row of a
+    (b, h) step shares one position, so masks are row-independent.
+    """
+    from tinyllama_tpu.ops.pallas.softmax_update import online_update
+
+    if len(rest) == 8:
+        (ks_ref, vs_ref, sks_ref, svs_ref,
+         o_ref, m_ref, l_ref, acc_ref) = rest
+    else:
+        ks_ref = vs_ref = sks_ref = svs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    s = pl.program_id(2)
+    n_steps = pl.num_programs(2)  # n_s + 1
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    n_pool = npool_ref[b]
+    rows = slice(None)
+
+    @pl.when((s < n_steps - 1) & (s * bs < n_pool))
+    def _():
+        key_pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        online_update(
+            q_ref[:].astype(compute_dtype), k_ref[:], v_ref[:],
+            None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
+            None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
+            key_pos < n_pool, rows, m_ref, l_ref, acc_ref, compute_dtype,
+        )
+
+    @pl.when(s == n_steps - 1)
+    def _():
+        Cs = sk_ref.shape[0]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, Cs), 1)
+        online_update(
+            q_ref[:].astype(compute_dtype), sk_ref[:], sv_ref[:],
+            None if sks_ref is None else sks_ref[pl.ds(h, 1), :],
+            None if svs_ref is None else svs_ref[pl.ds(h, 1), :],
+            slot < ntail_ref[b], rows, m_ref, l_ref, acc_ref,
+            compute_dtype,
+        )
+        denom = l_ref[:, :1]
+        denom = jnp.where(denom > 0.0, denom, 1.0)
+        o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
+                ntail, interpret):
+    B, Kh, G, d = qg.shape
+    S = ck.shape[3]
+    Cs = sk.shape[3]
+    compute_dtype = qg.dtype
+    quant = ck_s is not None
+
+    bs = _tile(S, 512)
+    n_s = S // bs
+    grid = (B, Kh, n_s + 1)
+
+    def _s_eff(b, s, npool):
+        # clamp past-fill (and the tail step's) tile index to the last
+        # pool tile: the repeated block index skips its DMA entirely
+        return jnp.minimum(s, jnp.maximum(npool[b] - 1, 0) // bs)
+
+    pool_spec = pl.BlockSpec(
+        (None, None, None, bs, d),
+        lambda b, h, s, li, npool, ntail:
+        (li[0], b, h, _s_eff(b, s, npool), 0),
+    )
+    tail_spec = pl.BlockSpec(
+        (None, None, None, Cs, d),
+        lambda b, h, s, li, npool, ntail: (li[0], b, h, 0, 0),
+    )
+    in_specs = [
+        pl.BlockSpec((None, None, G, d),
+                     lambda b, h, s, li, npool, ntail: (b, h, 0, 0)),
+        pool_spec, pool_spec, tail_spec, tail_spec,
+    ]
+    operands = [qg, ck, cv, sk, sv]
+    if quant:
+        scale_spec = pl.BlockSpec(
+            (None, None, Kh, bs),
+            lambda b, h, s, li, npool, ntail:
+            (li[0], b, 0, _s_eff(b, s, npool)),
+        )
+        tail_scale_spec = pl.BlockSpec(
+            (None, None, Kh, Cs),
+            lambda b, h, s, li, npool, ntail: (li[0], b, 0, 0),
+        )
+        in_specs += [scale_spec, scale_spec, tail_scale_spec,
+                     tail_scale_spec]
+        operands += [ck_s, cv_s, sk_s, sv_s]
+
+    kernel = functools.partial(
+        _flash_staged_kernel, compute_dtype=compute_dtype, bs=bs
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (None, None, G, d),
+            lambda b, h, s, li, npool, ntail: (b, h, 0, 0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Kh * G * (S + Cs) * d,
+            bytes_accessed=2 * B * Kh * (S + Cs) * d * ck.dtype.itemsize,
+            transcendentals=B * Kh * G * (S + Cs),
+        ),
+        interpret=interpret,
+    )(li, npool, ntail, *operands)
+
+
+def flash_staged_attention(
+    q: jnp.ndarray,  # [B, 1, H, d] activation dtype
+    st,  # runtime.staging.StagedKVCache over a monolithic KVCache
+    li: jnp.ndarray,  # scalar int32 layer index
+    pos: jnp.ndarray,  # [B] int32 position of the new token
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Single-token GQA attention over the stacked cache + the chunk's
+    staged tail (the new token's k/v already staged at slot pos - base).
+    Returns [B, 1, H, d]."""
+    B, T, H, d = q.shape
+    assert T == 1, "flash_staged_attention is the T=1 decode path"
+    pool = st.pool
+    Kh = pool.k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qg = q.reshape(B, Kh, H // Kh, d)
+    out = _run_staged(
+        qg, pool.k, pool.v, st.sk, st.sv,
+        pool.k_scale, pool.v_scale, st.sk_scale, st.sv_scale,
+        jnp.reshape(li, (1,)).astype(jnp.int32),
+        st.base.astype(jnp.int32),
+        (pos - st.base + 1).astype(jnp.int32),
+        interpret,
+    )
+    return out.reshape(B, 1, H, d).astype(q.dtype)
+
+
 def flash_prefill_attention(
     q: jnp.ndarray,  # [B, T, H, d] activation dtype
     cache,  # KVCache ([L, B, Kh, S, d]); new k/v already written

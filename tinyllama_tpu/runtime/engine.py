@@ -97,6 +97,7 @@ class Engine:
         mesh=None,
         paged: bool = False,
         tp_overlap: bool = False,
+        staged: bool = True,
     ):
         self.cfg = cfg
         self.policy = policy
@@ -107,6 +108,9 @@ class Engine:
             use_pallas = jax.default_backend() == "tpu" and policy.is_quantized
         self.use_pallas = use_pallas
         self.paged = paged
+        #: chunk-local KV staging in decode chunks (runtime/staging.py);
+        #: off = per-step per-row cache writes (the pre-staging path)
+        self.staged = staged
         if use_pallas:
             # whole lm_head N-tiles on the kernel path (models/llama.py)
             self.params = llama.pad_lm_head_vocab(self.params)
@@ -302,6 +306,11 @@ class Engine:
         (tokens [B,C], done [B], logits, cache, pos, key).
         The token emitted at step i is sampled from the logits entering
         step i; once a row hits EOS it keeps emitting EOS (host truncates).
+
+        The chunk's KV writes go through a chunk-local staging tail
+        (runtime/staging.py): one batched DUS per plane per step instead
+        of B chained per-row cache writes, flushed into the real cache
+        once at chunk exit — the per-step write cost is O(1) in batch.
         """
         sig = (C, greedy, top_k, paged)
         if sig in self._chunks:
@@ -310,10 +319,17 @@ class Engine:
         cfg, policy, use_pallas = self._fwd_cfg, self.policy, self.use_pallas
         rope_tables = self.rope_tables
         tp_axis, tp_overlap = self._tp_axis, self.tp_overlap
+        staged = self.staged
 
         def chunk(params, cache, logits, pos, key, eos, temperature):
+            from tinyllama_tpu.runtime.staging import (
+                flush_staged, stage_cache,
+            )
+
+            state = stage_cache(cache, pos, C) if staged else cache
+
             def body(carry, _):
-                cache, logits, pos, done, key = carry
+                state, logits, pos, done, key = carry
                 if greedy:
                     tok = sampling.greedy_device(logits)
                 else:
@@ -323,21 +339,22 @@ class Engine:
                     )
                 tok = jnp.where(done, eos, tok)
                 done = done | (tok == eos)
-                hidden, cache = llama.forward(
-                    cfg, policy, params, tok[:, None], cache, pos,
+                hidden, state = llama.forward(
+                    cfg, policy, params, tok[:, None], state, pos,
                     rope_tables, use_pallas, tp_axis=tp_axis,
                     tp_overlap=tp_overlap,
                 )
                 logits = llama.lm_head_logits(
                     params, hidden[:, 0], use_pallas, policy.aq8
                 )
-                return (cache, logits, pos + 1, done, key), tok
+                return (state, logits, pos + 1, done, key), tok
 
             B = logits.shape[0]
-            init = (cache, logits, pos, jnp.zeros((B,), bool), key)
-            (cache, logits, pos, done, key), toks = jax.lax.scan(
+            init = (state, logits, pos, jnp.zeros((B,), bool), key)
+            (state, logits, pos, done, key), toks = jax.lax.scan(
                 body, init, length=C
             )
+            cache = flush_staged(state, C) if staged else state
             return toks.T, done, logits, cache, pos, key
 
         if self.tp > 1:
