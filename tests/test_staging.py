@@ -151,37 +151,47 @@ def test_staged_generate_at_context_limit(paged):
     """The engine's final chunk may overhang max_ctx (full C-step chunks,
     overhang tokens discarded). A clamped flush/view DUS start would
     shift the staged tail and corrupt live positions — staged must stay
-    token-identical to the per-step write path all the way to max_ctx."""
+    token-identical to the per-step write path all the way to max_ctx.
+
+    Batch of 2 (staggered lengths): the engine only stages at B > 1 (at
+    B == 1 the per-row write is already a single DUS, engine.py)."""
     policy = POLICIES["bf16"]
     dense = llama.init_dense_params(CFG, jax.random.PRNGKey(0), jnp.float32)
     params = llama.convert_params(dense, policy)
-    prompt = [3, 7, 1]
+    prompts = [[3, 7, 1], [5, 2, 9, 4, 8]]
     gen = GenerationConfig(
         n_predict=CFG.max_ctx, greedy=True, eos_token=-1, chunk_size=32
     )
     outs = {}
     for staged in (False, True):
-        eng = Engine(CFG, policy, params, paged=paged, staged=staged)
-        outs[staged], _ = eng.generate(prompt, gen)
-    assert len(outs[True]) == CFG.max_ctx - len(prompt)
+        eng = Engine(
+            CFG, policy, params, max_batch=2, paged=paged, staged=staged
+        )
+        outs[staged], _ = eng.generate_batch(prompts, gen)
+    assert [len(o) for o in outs[True]] == [
+        CFG.max_ctx - len(p) for p in prompts
+    ]
     assert outs[True] == outs[False]
 
 
 @pytest.mark.parametrize("paged", [False, True])
 @pytest.mark.parametrize("policy_name", ["bf16", "q4", "q4-kvi8"])
 def test_staged_generate_token_identical(paged, policy_name):
-    """Engine.generate with staging ON is token-identical to staging OFF
-    (the pre-staging per-row write path) across chunk boundaries."""
+    """Engine decode with staging ON is token-identical to staging OFF
+    (the pre-staging per-row write path) across chunk boundaries, at a
+    batch with staggered row positions (B == 1 bypasses staging)."""
     policy = POLICIES[policy_name]
     dense = llama.init_dense_params(CFG, jax.random.PRNGKey(0), jnp.float32)
     params = llama.convert_params(dense, policy)
-    prompt = list(range(2, 12))
+    prompts = [list(range(2, 12)), list(range(3, 9))]
     gen = GenerationConfig(
         n_predict=40, greedy=True, eos_token=-1, chunk_size=7
     )
     outs = {}
     for staged in (False, True):
-        eng = Engine(CFG, policy, params, paged=paged, staged=staged)
-        outs[staged], _ = eng.generate(prompt, gen)
+        eng = Engine(
+            CFG, policy, params, max_batch=2, paged=paged, staged=staged
+        )
+        outs[staged], _ = eng.generate_batch(prompts, gen)
     assert outs[True] == outs[False]
-    assert len(outs[True]) == 30
+    assert [len(o) for o in outs[True]] == [30, 34]

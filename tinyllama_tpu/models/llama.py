@@ -47,7 +47,7 @@ from tinyllama_tpu.ops.pallas.ffn_fused import (
 )
 from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
 from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
-from tinyllama_tpu.ops.rope import apply_rope, rope_table
+from tinyllama_tpu.ops.rope import apply_rope_gathered, gather_rope, rope_table
 from tinyllama_tpu.quant.codec import QTensor, quantize
 from tinyllama_tpu.runtime.kvcache import (
     KVCache,
@@ -160,7 +160,7 @@ def _block(
     li: jnp.ndarray,  # traced layer index
     pos: jnp.ndarray,  # [B] write offsets
     q_positions: jnp.ndarray,  # [B, T]
-    cos,
+    cos,  # [B, T, d_half] pre-gathered rope rows (gather_rope)
     sin,
     use_pallas: bool,
     layer=None,  # == li iff lp's matmul weights are layer-stacked
@@ -200,21 +200,27 @@ def _block(
         cfg, lp, B * T, tp_axis, aq8, layer
     )
 
+    def _norm_w(name):
+        # forward keeps norm weights stacked [L, D] on the fused path
+        # (layer-indexed inside the kernels); scan-sliced [D] otherwise
+        w = lp[name]
+        return w[li] if w.ndim == 2 else w
+
     if fused:
         qkv = fused_norm_qkv(
             x, lp["attn_norm"], lp["wqkv"], li, cfg.norm_eps,
             cfg.norm_eps_inside_sqrt,
         )
     else:
-        h = rms_norm(x, lp["attn_norm"], cfg.norm_eps,
+        h = rms_norm(x, _norm_w("attn_norm"), cfg.norm_eps,
                      cfg.norm_eps_inside_sqrt)
         qkv = linear(h, lp["wqkv"], use_pallas, layer, aq8)
     q = qkv[..., : H * d].reshape(B, T, H, d)
     k = qkv[..., H * d : (H + Kh) * d].reshape(B, T, Kh, d)
     v = qkv[..., (H + Kh) * d :].reshape(B, T, Kh, d)
 
-    q = apply_rope(q, q_positions, cos, sin)
-    k = apply_rope(k, q_positions, cos, sin)
+    q = apply_rope_gathered(q, cos, sin)
+    k = apply_rope_gathered(k, cos, sin)
 
     if isinstance(cache, StagedKVCache):
         # chunked decode (runtime/staging.py): the step's K/V goes into
@@ -271,7 +277,8 @@ def _block(
     else:
         x = x + _row_linear(attn, "wo")
 
-    h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps, cfg.norm_eps_inside_sqrt)
+    h = rms_norm(x, _norm_w("ffn_norm"), cfg.norm_eps,
+                 cfg.norm_eps_inside_sqrt)
     if (
         use_pallas and not aq8 and tp_axis is None and layer is not None
         and ffn_fused_eligible(cfg, lp["w_gateup"], lp["w_down"], B * T)
@@ -312,6 +319,9 @@ def forward(
         cache.max_ctx, cfg.d_head, cfg.rope_theta
     )
     q_positions = pos[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    # rope rows are layer-invariant: gather once per step, outside the
+    # scan (XLA does not hoist the gather out of the scan body)
+    cos_g, sin_g = gather_rope(q_positions, cos, sin)
 
     x = embedding_lookup(tokens, params["embed"], adt)
 
@@ -325,6 +335,17 @@ def forward(
     # updated in place (runtime/kvcache.py) and read either by the flash
     # kernel (layer-indexed DMA) or a fallback per-layer view.
     stacked = {n: w for n, w in layers.items() if isinstance(w, QTensor)}
+    # on the fused decode path the norm weights also stay stacked: the
+    # fused kernels index [L, D] rows via the prefetched layer scalar,
+    # so the scan's per-layer xs slices (~2 ops/layer/token) vanish
+    if use_pallas and decode_fused_eligible(
+        cfg, layers, B * T, tp_axis, policy.aq8, 0 if stacked else None
+    ):
+        stacked = {
+            **stacked,
+            "attn_norm": layers["attn_norm"],
+            "ffn_norm": layers["ffn_norm"],
+        }
     scanned_ws = {n: w for n, w in layers.items() if n not in stacked}
 
     def body(carry, scanned):
@@ -332,9 +353,12 @@ def forward(
         li, lp_scanned = scanned
         lp = {**lp_scanned, **stacked}
         x, cache = _block(
-            cfg, x, lp, cache, li, pos, q_positions, cos, sin,
-            use_pallas, layer=li if stacked else None, tp_axis=tp_axis,
-            aq8=policy.aq8, tp_overlap=tp_overlap,
+            cfg, x, lp, cache, li, pos, q_positions, cos_g, sin_g,
+            use_pallas,
+            layer=li if any(
+                isinstance(w, QTensor) for w in stacked.values()
+            ) else None,
+            tp_axis=tp_axis, aq8=policy.aq8, tp_overlap=tp_overlap,
         )
         return (x, cache), None
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tinyllama_tpu.ops.linear import cpu_safe_operand
+
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
@@ -56,8 +58,8 @@ def gqa_attention(
         # every decode step, so this is the attention hot loop's bandwidth).
         precision = jax.lax.Precision.DEFAULT
         qk_dtype = q.dtype
-    qc = q.reshape(B, T, Kh, G, d).astype(qk_dtype)
-    kc = k.astype(qk_dtype)
+    qc = cpu_safe_operand(q.reshape(B, T, Kh, G, d).astype(qk_dtype))
+    kc = cpu_safe_operand(k.astype(qk_dtype))
 
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     # [B, Kh, T, G, S] f32
@@ -83,8 +85,8 @@ def gqa_attention(
 
     out = jnp.einsum(
         "bktgs,bksd->btkgd",
-        p.astype(qk_dtype),
-        v.astype(qk_dtype),
+        cpu_safe_operand(p.astype(qk_dtype)),
+        cpu_safe_operand(v.astype(qk_dtype)),
         preferred_element_type=jnp.float32,
         precision=precision,
     )

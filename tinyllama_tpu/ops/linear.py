@@ -28,6 +28,20 @@ from tinyllama_tpu.quant.codec import QTensor, dequantize
 Weight = Union[jnp.ndarray, QTensor]
 
 
+def cpu_safe_operand(x: jnp.ndarray) -> jnp.ndarray:
+    """XLA:CPU's thunk runtime has no bf16/f16 GEMM with an f32 output
+    (B > 1 batches raise UNIMPLEMENTED DotThunk; B = 1 takes a GEMV path
+    that works). On CPU, upcast sub-f32 dot operands to f32 — bit-equal
+    there, since the CPU backend evaluates sub-f32 dots in f32 anyway.
+    On TPU this must never fire: bf16 operands are MXU-native and the
+    upcast would double the HBM traffic of every dot."""
+    if jax.default_backend() != "tpu" and x.dtype in (
+        jnp.bfloat16, jnp.float16
+    ):
+        return x.astype(jnp.float32)
+    return x
+
+
 def matmul_precision(dtype) -> jax.lax.Precision:
     """f32 operands must use HIGHEST on TPU: the DEFAULT precision lowers
     f32 matmuls to bf16 MXU passes, whose rounding depends on the operand
@@ -49,7 +63,7 @@ def _dequant_matmul(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
     wd = dequantize(w, dtype=x.dtype)
     sub = "...k,kn->...n" if w.layout == "kn" else "...k,nk->...n"
     return jnp.einsum(
-        sub, x, wd,
+        sub, cpu_safe_operand(x), cpu_safe_operand(wd),
         preferred_element_type=jnp.float32,
         precision=matmul_precision(x.dtype),
     )
@@ -79,8 +93,8 @@ def linear(
         return _dequant_matmul(x, w).astype(x.dtype)
     return jnp.einsum(
         "...k,nk->...n",
-        x,
-        w.astype(x.dtype),
+        cpu_safe_operand(x),
+        cpu_safe_operand(w.astype(x.dtype)),
         preferred_element_type=jnp.float32,
         precision=matmul_precision(x.dtype),
     ).astype(x.dtype)
@@ -103,8 +117,8 @@ def linear_f32_out(
         return _dequant_matmul(x, w)
     return jnp.einsum(
         "...k,nk->...n",
-        x,
-        w.astype(x.dtype),
+        cpu_safe_operand(x),
+        cpu_safe_operand(w.astype(x.dtype)),
         preferred_element_type=jnp.float32,
         precision=matmul_precision(x.dtype),
     )

@@ -79,12 +79,18 @@ def _norm_qkv(x, nw, data, scales, li, kind, eps, inside, bm, interpret):
         _norm_qkv_kernel, kind=kind, compute_dtype=x.dtype, bk=bk,
         eps=eps, inside=inside,
     )
+    # nw is the [L, 1, D] *stacked* norm table — the layer is selected
+    # by the prefetched scalar through a None leading block dim (the
+    # same idiom as the weights), so no per-layer XLA dynamic-slice
+    # feeds the call (a scan-sliced [D] row costs ~1 fusion op per
+    # layer per token). Mosaic requires the block's last two dims to
+    # equal the array's, hence the [L, 1, D] shape rather than [L, D].
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, D), lambda n, k, li: (0, 0)),
-            pl.BlockSpec((1, D), lambda n, k, li: (0, 0)),
+            pl.BlockSpec((None, 1, D), lambda n, k, li: (li[0], 0, 0)),
             pl.BlockSpec((None, bk // denom, bn),
                          lambda n, k, li: (li[0], k, n)),
             pl.BlockSpec((None, bk // BLOCK_SIZE, bn),
@@ -190,20 +196,25 @@ def _prep(x: jnp.ndarray):
 
 def fused_norm_qkv(
     x: jnp.ndarray,  # [B, T, D] UNNORMED hidden, compute dtype
-    norm_w: jnp.ndarray,  # [D] f32
+    norm_w: jnp.ndarray,  # [L, D] stacked (or [D] single-layer) f32
     w: QTensor,  # stacked [L, ...] kn
     li: jnp.ndarray,
     eps: float,
     inside: bool,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """rms_norm(x) @ dequant(wqkv) -> [B, T, N] in x.dtype, one kernel."""
+    """rms_norm(x) @ dequant(wqkv) -> [B, T, N] in x.dtype, one kernel.
+
+    A stacked [L, D] norm_w is layer-indexed inside the kernel via the
+    prefetched scalar (no per-layer XLA slice)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, D = x.shape
     x2, M = _prep(x)
+    nw = norm_w.astype(jnp.float32)
+    nw = nw.reshape(-1, 1, D)  # [L, 1, D]; single-layer [D] -> [1, 1, D]
     out = _norm_qkv(
-        x2, norm_w.astype(jnp.float32).reshape(1, D), w.data, w.scales,
+        x2, nw, w.data, w.scales,
         jnp.reshape(li, (1,)).astype(jnp.int32), w.kind, float(eps),
         bool(inside), max(M, _SMALL_M), interpret,
     )

@@ -271,7 +271,7 @@ def _ffn_fused(
 )
 def _ffn_fused_normed(
     x,  # [bm, D] UNNORMED hidden, compute dtype
-    nw,  # [1, D] f32 ffn_norm weight
+    nw,  # [L, 1, D] f32 ffn_norm weight (layer-indexed via li)
     gu_data, gu_scales,
     wd_data, wd_scales,
     li,
@@ -307,12 +307,15 @@ def _ffn_fused_normed(
         n_k=n_k, n_kd=n_kd, bk_gu=bk_gu, bk_d=bk_d, bn_gu=bn_gu, F=F,
         eps=eps, inside=inside,
     )
+    # stacked [L, 1, D] norm weights are layer-indexed in-kernel via a
+    # None leading block dim (see decode_fused._norm_qkv — Mosaic needs
+    # the block's last two dims to equal the array's)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((bm, D), lambda t, li: (0, 0)),
-            pl.BlockSpec((1, D), lambda t, li: (0, 0)),
+            pl.BlockSpec((None, 1, D), lambda t, li: (li[0], 0, 0)),
             pl.BlockSpec((None, bk_gu // denom, bn_gu), gu_map),
             pl.BlockSpec((None, bk_gu // BLOCK_SIZE, bn_gu), gu_map),
             pl.BlockSpec((None, bk_d // denom, D), wd_map),
@@ -375,7 +378,7 @@ def ffn_fused(
 
 def ffn_fused_normed(
     x: jnp.ndarray,  # [B, T, D] UNNORMED block state, compute dtype
-    norm_w: jnp.ndarray,  # [D] f32 ffn_norm weight
+    norm_w: jnp.ndarray,  # [L, D] stacked (or [D] single-layer) f32
     wgu: QTensor,
     wdown: QTensor,
     li: jnp.ndarray,
@@ -384,7 +387,8 @@ def ffn_fused_normed(
 ) -> jnp.ndarray:
     """x + FFN(rms_norm(x)) in one call; returns [B, T, D] in x.dtype.
 
-    Caller must have checked ffn_fused_eligible."""
+    Caller must have checked ffn_fused_eligible. A stacked [L, D] norm_w
+    is layer-indexed inside the kernel via the prefetched scalar."""
     B, T, D = x.shape
     M = B * T
     if interpret is None:
@@ -393,8 +397,10 @@ def ffn_fused_normed(
     bm = _SMALL_M
     if M < bm:
         x2 = jnp.pad(x2, ((0, bm - M), (0, 0)))
+    nw = norm_w.astype(jnp.float32)
+    nw = nw.reshape(-1, 1, D)  # [L, 1, D]; single-layer [D] -> [1, 1, D]
     out = _ffn_fused_normed(
-        x2, norm_w.astype(jnp.float32).reshape(1, D),
+        x2, nw,
         wgu.data, wgu.scales, wdown.data, wdown.scales,
         jnp.reshape(li, (1,)).astype(jnp.int32),
         wgu.kind, D, cfg.n_ffn, bm, float(cfg.norm_eps),

@@ -25,6 +25,20 @@ def rope_table(max_ctx: int, d_head: int, base: float = 10000.0):
     return jnp.asarray(np.cos(angles)), jnp.asarray(np.sin(angles))
 
 
+def gather_rope(
+    positions: jnp.ndarray,  # [B, T] int32
+    cos_table: jnp.ndarray,
+    sin_table: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather (cos, sin) rows for a step's positions: [B, T, d_half] f32.
+
+    Hoisted out of the layer scan by the caller — the rows are identical
+    for every layer, but XLA does not hoist the gather out of the scan
+    body, so done per layer it costs ~2 dynamic-slice ops x n_layers per
+    decoded token."""
+    return cos_table[positions], sin_table[positions]
+
+
 def apply_rope(
     x: jnp.ndarray,
     positions: jnp.ndarray,
@@ -37,10 +51,20 @@ def apply_rope(
     out0 = x0*cos - x1*sin; out1 = x0*sin + x1*cos (ops.h:738-748).
     Computed in f32, returned in x.dtype.
     """
+    cos, sin = gather_rope(positions, cos_table, sin_table)
+    return apply_rope_gathered(x, cos, sin)
+
+
+def apply_rope_gathered(
+    x: jnp.ndarray,  # [B, T, n_heads, d_head]
+    cos: jnp.ndarray,  # [B, T, d_half] f32 (gather_rope)
+    sin: jnp.ndarray,
+) -> jnp.ndarray:
+    """apply_rope over pre-gathered cos/sin rows (see gather_rope)."""
     dtype = x.dtype
     d_half = x.shape[-1] // 2
-    cos = cos_table[positions][:, :, None, :]  # [B, T, 1, d_half]
-    sin = sin_table[positions][:, :, None, :]
+    cos = cos[:, :, None, :]  # [B, T, 1, d_half]
+    sin = sin[:, :, None, :]
     xf = x.astype(jnp.float32)
     x0 = xf[..., :d_half]
     x1 = xf[..., d_half:]

@@ -326,7 +326,12 @@ class Engine:
                 flush_staged, stage_cache,
             )
 
-            state = stage_cache(cache, pos, C) if staged else cache
+            # staging turns B per-row cache writes into 1 batched DUS per
+            # plane — a win only at B > 1. At B == 1 the per-row path is
+            # already a single DUS and the staged-tail attention pass
+            # costs ~65us/tok extra (measured), so bypass it.
+            use_staged = staged and pos.shape[0] > 1
+            state = stage_cache(cache, pos, C) if use_staged else cache
 
             def body(carry, _):
                 state, logits, pos, done, key = carry
@@ -354,7 +359,7 @@ class Engine:
             (state, logits, pos, done, key), toks = jax.lax.scan(
                 body, init, length=C
             )
-            cache = flush_staged(state, C) if staged else state
+            cache = flush_staged(state, C) if use_staged else state
             return toks.T, done, logits, cache, pos, key
 
         if self.tp > 1:
