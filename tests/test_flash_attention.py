@@ -14,7 +14,10 @@ import pytest
 
 from tinyllama_tpu.config import tiny_test_config
 from tinyllama_tpu.ops.attention import gqa_attention
-from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+from tinyllama_tpu.ops.pallas.flash_prefill import (
+    flash_decode_heads_attention,
+    flash_prefill_attention,
+)
 from tinyllama_tpu.runtime.kvcache import (
     init_cache,
     layer_cache_view,
@@ -58,6 +61,36 @@ def test_decode_matches_fallback(kv_dtype):
         flash_prefill_attention(q, cache, li, pos, interpret=True), np.float32
     )
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("kv_dtype", ["bf16", "i8"])
+@pytest.mark.parametrize("pos0", [0, 5, 100])
+def test_decode_heads_matches_fallback(kv_dtype, pos0):
+    """The heads-merged T=1 kernel (the production b>=1 monolithic
+    decode path) vs the XLA fallback, across fills incl. pos 0 and a
+    fill crossing key-tile boundaries."""
+    cache, li, pos, q, q_positions = _setup(kv_dtype, T=1, pos0=pos0)
+    want = np.asarray(_fallback(q, cache, li, q_positions), np.float32)
+    got = np.asarray(
+        flash_decode_heads_attention(q, cache, li, pos, interpret=True),
+        np.float32,
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+def test_decode_heads_matches_blocked_kernel():
+    """heads-merged decode == the generic blocked kernel on the same
+    state (both fill-pruned; staggered batch rows)."""
+    cache, li, pos, q, q_positions = _setup("i8", B=2, T=1, pos0=37)
+    a = np.asarray(
+        flash_decode_heads_attention(q, cache, li, pos, interpret=True),
+        np.float32,
+    )
+    b = np.asarray(
+        flash_prefill_attention(q, cache, li, pos, interpret=True),
+        np.float32,
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("kv_dtype", ["bf16", "i8"])

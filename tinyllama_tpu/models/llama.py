@@ -46,7 +46,10 @@ from tinyllama_tpu.ops.pallas.ffn_fused import (
     ffn_fused_normed,
 )
 from tinyllama_tpu.ops.pallas.flash_paged import flash_paged_attention
-from tinyllama_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+from tinyllama_tpu.ops.pallas.flash_prefill import (
+    flash_decode_heads_attention,
+    flash_prefill_attention,
+)
 from tinyllama_tpu.ops.rope import apply_rope_gathered, gather_rope, rope_table
 from tinyllama_tpu.quant.codec import QTensor, quantize
 from tinyllama_tpu.runtime.kvcache import (
@@ -255,7 +258,12 @@ def _block(
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
     else:
         cache = update_cache_at_layer(cache, li, k, v, pos)
-        if use_pallas:
+        if use_pallas and T == 1:
+            # decode: all kv heads per grid step (grid (B, S/bs) with
+            # fill-pruned tiles) — the generic kernel's (B, Kh, 1, S/bs)
+            # grid pays ~0.3 us of per-step overhead on tiny work
+            attn = flash_decode_heads_attention(q, cache, li, pos)
+        elif use_pallas:
             # blocked kernel with causal tile pruning: cost tracks the
             # filled context per sequence — an unblocked single-pass
             # kernel would read the whole padded cache slab every step

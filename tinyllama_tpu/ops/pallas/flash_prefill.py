@@ -176,6 +176,146 @@ def _run(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
     )(li, pos, *operands)
 
 
+def _decode_heads_kernel(
+    li_ref, pos_ref, q_ref, k_ref, v_ref, *rest,
+    compute_dtype, Kh: int, G: int, bs: int, n_s: int,
+):
+    """T=1 decode attention with ALL kv heads in one block.
+
+    The generic kernel (`_flash_attn_kernel`) puts Kh on the grid, which
+    at decode means Kh x n_s grid steps of tiny work per (b, layer) —
+    per-grid-step overhead (~0.3 us) dominates the actual DMA/compute at
+    any fill. Here the k/v blocks carry the whole [Kh, bs, d] slab and a
+    static in-kernel head loop does Kh small dots per key tile, so the
+    grid is (B, S/bs): 4x fewer steps at TinyLlama's Kh=4.
+    """
+    from tinyllama_tpu.ops.pallas.softmax_update import online_update
+
+    if len(rest) == 6:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = rest
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(s * bs <= pos_ref[b])
+    def _():
+        key_pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        ok = key_pos <= pos_ref[b]
+        for h in range(Kh):
+            rows = slice(h * G, (h + 1) * G)
+            online_update(
+                q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
+                None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
+                None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
+                ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
+            )
+
+    @pl.when(s == n_s - 1)
+    def _():
+        denom = l_ref[:, :1]
+        denom = jnp.where(denom > 0.0, denom, 1.0)
+        out = (acc_ref[:] / denom).astype(o_ref.dtype)
+        for h in range(Kh):
+            o_ref[h] = out[h * G:(h + 1) * G]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_decode_heads(qg, ck, cv, ck_s, cv_s, li, pos, interpret):
+    B, Kh, G, d = qg.shape
+    S = ck.shape[3]
+    compute_dtype = qg.dtype
+    quant = ck_s is not None
+
+    bs = _tile(S, 512)
+    n_s = S // bs
+    grid = (B, n_s)
+
+    def _s_eff(b, s, pos):
+        # clamp past-fill tiles to the last visible one: the repeated
+        # block index skips the DMA, the kernel gate skips the compute
+        return jnp.minimum(s, pos[b] // bs)
+
+    kv_spec = pl.BlockSpec(
+        (None, None, Kh, bs, d),
+        lambda b, s, li, pos: (li[0], b, 0, _s_eff(b, s, pos), 0),
+    )
+    in_specs = [
+        pl.BlockSpec((None, Kh, G, d), lambda b, s, li, pos: (b, 0, 0, 0)),
+        kv_spec, kv_spec,
+    ]
+    operands = [qg, ck, cv]
+    if quant:
+        scale_spec = pl.BlockSpec(
+            (None, None, Kh, bs),
+            lambda b, s, li, pos: (li[0], b, 0, _s_eff(b, s, pos)),
+        )
+        in_specs += [scale_spec, scale_spec]
+        operands += [ck_s, cv_s]
+
+    kernel = functools.partial(
+        _decode_heads_kernel, compute_dtype=compute_dtype, Kh=Kh, G=G,
+        bs=bs, n_s=n_s,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((None, Kh, G, d),
+                               lambda b, s, li, pos: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Kh * G, 128), jnp.float32),
+            pltpu.VMEM((Kh * G, 128), jnp.float32),
+            pltpu.VMEM((Kh * G, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Kh * G * S * d,
+            bytes_accessed=2 * B * Kh * S * d * ck.dtype.itemsize,
+            transcendentals=B * Kh * G * S,
+        ),
+        interpret=interpret,
+    )(li, pos, *operands)
+
+
+def flash_decode_heads_attention(
+    q: jnp.ndarray,  # [B, 1, H, d] activation dtype
+    cache,  # KVCache ([L, B, Kh, S, d]); the new k/v already written
+    li: jnp.ndarray,  # scalar int32 layer index
+    pos: jnp.ndarray,  # [B] int32 position of the new token
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Single-token GQA attention over the stacked cache with all kv
+    heads resident in each grid step (see _decode_heads_kernel).
+    Returns [B, 1, H, d] in q.dtype."""
+    B, T, H, d = q.shape
+    assert T == 1, "flash_decode_heads_attention is the T=1 decode path"
+    Kh = cache.k.shape[2]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    qg = q.reshape(B, Kh, H // Kh, d)
+    out = _run_decode_heads(
+        qg, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
+        interpret,
+    )
+    return out.reshape(B, 1, H, d).astype(q.dtype)
+
+
 def _flash_staged_kernel(
     li_ref, npool_ref, ntail_ref, q_ref, k_ref, v_ref, sk_ref, sv_ref,
     *rest, compute_dtype, bs: int,

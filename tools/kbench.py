@@ -614,6 +614,46 @@ def bench_sweep(args) -> int:
             o_ref[:] += acc
             return
 
+        if variant == "biasand":
+            # AND-only int8 unpack (no i32 cast, no shift): models a
+            # packing where the hi nibble is stored biased by -8 (byte
+            # XOR 0x80), so (byte & 0xF0) read as SIGNED int8 equals
+            # 16*(vhi-8) — linear in vhi. The x16 and the +1 net offset
+            # ((vhi-8)+1 == vhi-7) fold into post-dot scale algebra:
+            #   hi: s*((x.hi16)/16 + sum(x)),  lo: s*((x.lo) - 7*sum(x))
+            # Timing here reuses the production packing (wrong values,
+            # identical op structure).
+            p = w_ref[:]  # int8
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            half = KN_GROUP // 2
+            s16 = s * (1.0 / 16.0)
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            m_hi = jnp.asarray(-16, jnp.int8)   # 0xF0 as signed int8
+            m_lo = jnp.asarray(0x0F, jnp.int8)
+            for g in range(p.shape[0] // half):
+                rows = p[g * half:(g + 1) * half]
+                hi16 = (rows & m_hi).astype(x.dtype)
+                lo = (rows & m_lo).astype(x.dtype)
+                xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+                xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+                sumh = jnp.sum(xh.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                suml = jnp.sum(xl.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                ph = jax.lax.dot_general(
+                    xh, hi16, dims, preferred_element_type=jnp.float32)
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32)
+                sh = s[2 * g].reshape(1, bn)
+                sl = s[2 * g + 1].reshape(1, bn)
+                acc += ph * s16[2 * g].reshape(1, bn) + sumh * sh
+                acc += (plo - 7.0 * suml) * sl
+            o_ref[:] += acc
+            return
+
         if variant == "overlap":
             # heavy compute that does NOT read the weight tile (beyond a
             # token touch): if the pipeline overlaps DMA with compute this
