@@ -75,23 +75,29 @@ def _block_dot_q(x, w_raw, s, kind: str, compute_dtype):
             )
             add(pb * s[b].reshape(1, bn))
     else:
-        p32 = w_raw.astype(jnp.int32)
+        # biased-hi q4 packing (quant/codec.py _pack_q4_kn): AND-only
+        # int8 unpack; x16/offset algebra folds into the block scales
+        # (see ops/pallas/qmatmul.py _qmm_kernel_smallm)
         half = KN_GROUP // 2
-        for g in range(p32.shape[0] // half):
-            rows = p32[g * half:(g + 1) * half]
-            hi = ((rows >> 4) & 0x0F).astype(compute_dtype)
-            lo = (rows & 0x0F).astype(compute_dtype)
+        m_hi = jnp.asarray(-16, jnp.int8)
+        m_lo = jnp.asarray(0x0F, jnp.int8)
+        s16 = s * (1.0 / 16.0)
+        for g in range(w_raw.shape[0] // half):
+            rows = w_raw[g * half:(g + 1) * half]
+            hi16 = (rows & m_hi).astype(compute_dtype)  # 16*(v_hi-8)
+            lo = (rows & m_lo).astype(compute_dtype)
             xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
             xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
             sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
             suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
             ph = jax.lax.dot_general(
-                xh, hi, dims, preferred_element_type=jnp.float32,
-            ) - float(Q4_OFFSET) * sumh
+                xh, hi16, dims, preferred_element_type=jnp.float32,
+            )
             plo = jax.lax.dot_general(
                 xl, lo, dims, preferred_element_type=jnp.float32,
             ) - float(Q4_OFFSET) * suml
-            add(ph * s[2 * g].reshape(1, bn))
+            add(ph * s16[2 * g].reshape(1, bn))
+            add(sumh * s[2 * g].reshape(1, bn))
             add(plo * s[2 * g + 1].reshape(1, bn))
     return acc
 

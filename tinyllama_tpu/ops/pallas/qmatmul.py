@@ -136,14 +136,23 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
             else:
                 pb = _dot(xb, wb.astype(compute_dtype), ((1,), (0,)))
             acc += scaled(pb, sx) * s[b].reshape(1, bn)
-    else:  # q4 planar nibble groups of KN_GROUP K-rows
-        p32 = w_ref[:].astype(jnp.int32)  # [BK//2, BN]
+    else:  # q4 planar nibble groups of KN_GROUP K-rows, biased-hi packed
+        # (codec._pack_q4_kn stores bytes XOR 0x80): byte & 0xF0 read as
+        # SIGNED int8 is 16*(v_hi-8) and byte & 0x0F is v_lo — unpacking
+        # is one int8 AND per plane, no i32 cast, no shift. The x16 and
+        # the offsets fold into post-dot scale algebra:
+        #   hi: sum x*(v-7)*s == s/16 * (x.hi16) + s*blocksum(x)
+        #   lo: sum x*(v-7)*s == s * (x.lo) - 7*s*blocksum(x)
+        p = w_ref[:]  # int8 [BK//2, BN]
         idt = jnp.int8 if aq8 else compute_dtype
         half = KN_GROUP // 2  # rows per nibble plane == one 32-block
-        for g in range(p32.shape[0] // half):
-            rows = p32[g * half:(g + 1) * half]
-            hi = ((rows >> 4) & 0x0F).astype(idt)
-            lo = (rows & 0x0F).astype(idt)
+        m_hi = jnp.asarray(-16, jnp.int8)  # 0xF0 as signed int8
+        m_lo = jnp.asarray(0x0F, jnp.int8)
+        s16 = s * (1.0 / 16.0)
+        for g in range(p.shape[0] // half):
+            rows = p[g * half:(g + 1) * half]
+            hi16 = (rows & m_hi).astype(idt)  # == 16*(v_hi - 8)
+            lo = (rows & m_lo).astype(idt)    # == v_lo
             xh, sxh, sumh = block_x(
                 slice(g * KN_GROUP, g * KN_GROUP + half)
             )
@@ -152,21 +161,27 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
             )
             if aq8:
                 ph = jax.lax.dot_general(
-                    xh, hi, idot, preferred_element_type=jnp.int32
+                    xh, hi16, idot, preferred_element_type=jnp.int32
                 )
                 plo = jax.lax.dot_general(
                     xl, lo, idot, preferred_element_type=jnp.int32
                 )
-                # offset correction stays exact in int32
-                ph = (ph - Q4_OFFSET * sumh).astype(jnp.float32) * sxh
+                # ph/16 + rowsum == dot(x, v_hi-7); both exact (< 2^24)
+                ph = (
+                    ph.astype(jnp.float32) * (1.0 / 16.0)
+                    + sumh.astype(jnp.float32)
+                ) * sxh
                 plo = (plo - Q4_OFFSET * suml).astype(jnp.float32) * sxl
+                acc += ph * s[2 * g].reshape(1, bn)
+                acc += plo * s[2 * g + 1].reshape(1, bn)
             else:
-                # fold the +7 offset out per block:
-                # sum_j x_j*(v_j-7)*s == s*(x.v) - 7*s*blocksum(x)
-                ph = _dot(xh, hi, ((1,), (0,))) - float(Q4_OFFSET) * sumh
-                plo = _dot(xl, lo, ((1,), (0,))) - float(Q4_OFFSET) * suml
-            acc += ph * s[2 * g].reshape(1, bn)
-            acc += plo * s[2 * g + 1].reshape(1, bn)
+                ph = _dot(xh, hi16, ((1,), (0,)))
+                plo = _dot(xl, lo, ((1,), (0,)))
+                acc += ph * s16[2 * g].reshape(1, bn)
+                acc += sumh * s[2 * g].reshape(1, bn)
+                acc += (plo - float(Q4_OFFSET) * suml) * s[
+                    2 * g + 1
+                ].reshape(1, bn)
 
     o_ref[:] += acc
 
@@ -187,15 +202,14 @@ def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
         vals = w.astype(jnp.float32)
     else:
         bk = w.shape[0] * 2
-        w32 = w.astype(jnp.int32).reshape(bk // KN_GROUP, KN_GROUP // 2, bn)
-        hi = (w32 >> 4) & 0x0F
-        lo = w32 & 0x0F
-        vals = (
-            jnp.concatenate([hi, lo], axis=1)
-            .reshape(bk, bn)
-            .astype(jnp.float32)
-            - float(Q4_OFFSET)
-        )
+        # biased-hi packing (codec._pack_q4_kn): AND-only int8 unpack,
+        # offsets folded per plane (hi16/16 + 8 - 7; lo - 7)
+        g8 = w.reshape(bk // KN_GROUP, KN_GROUP // 2, bn)
+        hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
+            1.0 / 16.0
+        ) + 1.0
+        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) - 7.0
+        vals = jnp.concatenate([hi, lo], axis=1).reshape(bk, bn)
     # [BK//32, BN] scales broadcast over each 32-row block (sublane dim)
     s3 = _load_scales(s_ref).reshape(bk // BLOCK_SIZE, 1, bn)
     w_deq = (

@@ -93,7 +93,9 @@ class QTensor:
       * kind="q8": data int8 [..., K, N]
       * kind="q4": data int8 [..., K//2, N]: packed row g*32+j holds
         K-row g*64+j in its high nibble and K-row g*64+32+j in its low
-        nibble (KN_GROUP sublane groups)
+        nibble (KN_GROUP sublane groups), byte stored XOR 0x80 so
+        ``byte & 0xF0`` read signed equals ``16*(v_hi-8)`` (see
+        _pack_q4_kn)
       * scales: float32 [..., K//32, N]
       With N in lanes, in-kernel scale expansion is a sublane broadcast
       and nibble unpacking a sublane concat — no lane shuffles anywhere.
@@ -204,7 +206,14 @@ def quantize(w: jax.Array, kind: str, layout: str = "nk") -> QTensor:
 def _pack_q4_kn(vals: jax.Array) -> jax.Array:
     """Unpacked offset-7 uint8 values [.., N, K] -> "kn" packed int8
     [.., K//2, N] (KN_GROUP sublane groups: packed row g*32+j = K-row
-    g*64+j high nibble | K-row g*64+32+j low nibble)."""
+    g*64+j high nibble | K-row g*64+32+j low nibble).
+
+    The stored byte is XOR 0x80 ("biased-hi"): with the high nibble
+    stored as ``v_hi ^ 8``, the kernel reads ``byte & 0xF0`` as a SIGNED
+    int8 and gets exactly ``16 * (v_hi - 8)`` — linear in the nibble, so
+    unpacking is one AND per plane with no i32 cast, no shift, and the
+    x16/offset algebra folds into the post-dot block scales
+    (ops/pallas/qmatmul.py). The low nibble is untouched by the XOR."""
     K = vals.shape[-1]
     assert K % KN_GROUP == 0, vals.shape
     vT = jnp.swapaxes(vals.astype(jnp.uint8), -1, -2)  # [.., K, N]
@@ -212,15 +221,19 @@ def _pack_q4_kn(vals: jax.Array) -> jax.Array:
     g = vT.reshape(*vT.shape[:-2], K // KN_GROUP, KN_GROUP, N)
     hi = g[..., : KN_GROUP // 2, :]
     lo = g[..., KN_GROUP // 2 :, :]
-    packed = ((hi << 4) | (lo & 0x0F)).reshape(*vT.shape[:-2], K // 2, N)
+    packed = (((hi << 4) | (lo & 0x0F)) ^ 0x80).reshape(
+        *vT.shape[:-2], K // 2, N
+    )
     return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
 
 def unpack_q4_kn(data: jax.Array) -> jax.Array:
     """"kn" packed int8 [.., K//2, N] -> int8-valued [.., K, N] still
-    carrying the +7 offset (inverse of _pack_q4_kn)."""
+    carrying the +7 offset (inverse of _pack_q4_kn, incl. the biased-hi
+    XOR 0x80)."""
     K = data.shape[-2] * 2
     N = data.shape[-1]
+    data = jnp.bitwise_xor(data, jnp.int8(-128))  # undo the hi-nibble bias
     grouped = data.reshape(*data.shape[:-2], K // KN_GROUP, KN_GROUP // 2, N)
     hi = ((grouped >> 4) & 0x0F).astype(jnp.int8)
     lo = (grouped & 0x0F).astype(jnp.int8)

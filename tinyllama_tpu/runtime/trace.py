@@ -29,11 +29,12 @@ from pathlib import Path
 _BUCKETS = (
     # the reference's "linear" bucket: every matmul module (qkv/o/gate/
     # up/down projections + lm_head), tinyllama.cpp:524-538
-    ("linear", ("qmm_", "qmatmul", "ffn_fused", "lm_head", "dot", "matmul")),
+    ("linear", ("qmm_", "qmatmul", "ffn_fused", "lm_head", "dot", "matmul",
+                "norm_qkv", "out_res")),
     # attention bucket: flash kernels + cache write + rope
     # (the reference counts rope + qkv_attn under non-linear modules)
     ("attention", ("flash_", "attn", "attention", "dynamic-update-slice", "dynamic_update",
-                   "rope", "scatter")),
+                   "rope", "scatter", "decode_heads")),
 )
 
 
