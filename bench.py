@@ -19,7 +19,10 @@ import time
 
 def main() -> int:
     policy_name = os.environ.get("BENCH_POLICY", "q4")
-    n_tokens = int(os.environ.get("BENCH_TOKENS", "384"))
+    # 1536 tokens measures steady-state decode: the two unavoidable
+    # host<->device tunnel round-trips (~45 ms total on this box) are
+    # <4% of the run instead of ~12% at 384
+    n_tokens = int(os.environ.get("BENCH_TOKENS", "1536"))
     # 384-token device-resident chunks amortize the host round-trip
     # (the chip sits behind a high-latency tunnel here): +4% vs 192,
     # +0.3% more at 768 — the dispatch cost is fully hidden by 384

@@ -86,6 +86,45 @@ def test_ffn_fused_normed_matches_unfused(qparams):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("kv_dtype", ["f32", "i8"])
+@pytest.mark.parametrize("pos0", [0, 5, 100])
+def test_fused_attn_out_matches_unfused(qparams, kv_dtype, pos0):
+    """attention + wo + residual in one call == gqa fallback + linear,
+    across fills (incl. pos 0 and past the first key tile) and kv
+    dtypes. d_head=32 here, so each q4 KN_GROUP spans two heads of the
+    attention scratch — the cross-head slicing case."""
+    from tinyllama_tpu.ops.attention import gqa_attention
+    from tinyllama_tpu.ops.pallas.attn_out_fused import fused_attn_out
+    from tinyllama_tpu.runtime.kvcache import (
+        layer_cache_view,
+        update_cache_at_layer,
+    )
+
+    params, _ = qparams
+    lw = params["layers"]
+    H, Kh, d = CFG.n_heads, CFG.n_kv_heads, CFG.d_head
+    li = jnp.int32(1)
+    key = jax.random.PRNGKey(pos0)
+    ks = jax.random.split(key, 4)
+    cache = init_cache(CFG, 1, kv_dtype)
+    k_all = jax.random.normal(ks[0], (1, pos0 + 1, Kh, d), jnp.float32)
+    v_all = jax.random.normal(ks[1], (1, pos0 + 1, Kh, d), jnp.float32)
+    cache = update_cache_at_layer(cache, li, k_all, v_all,
+                                  jnp.zeros((1,), jnp.int32))
+    q = jax.random.normal(ks[2], (1, 1, H, d), jnp.float32)
+    res = jax.random.normal(ks[3], (1, 1, CFG.n_embd), jnp.float32)
+    pos = jnp.asarray([pos0], jnp.int32)
+
+    k_eff, v_eff = layer_cache_view(cache, li, jnp.float32)
+    attn = gqa_attention(q, k_eff, v_eff, pos[:, None])
+    want = res + linear(attn.reshape(1, 1, H * d), lw["wo"],
+                        use_pallas=False, layer=li)
+    got = fused_attn_out(q, cache, li, pos, res, lw["wo"],
+                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_fused_forward_matches_fallback(qparams):
     """End-to-end: the pallas forward (which auto-selects the fused layer
     path at T=1) must match the XLA fallback forward on the same cache."""

@@ -258,7 +258,17 @@ def _block(
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
     else:
         cache = update_cache_at_layer(cache, li, k, v, pos)
-        if use_pallas and T == 1:
+        if fused and T == 1 and B == 1 and d % 32 == 0:
+            # b1 latency path: attention + wo + residual in ONE call —
+            # the attention result stays in VMEM scratch and feeds the
+            # wo blockdot directly (ops/pallas/attn_out_fused.py)
+            from tinyllama_tpu.ops.pallas.attn_out_fused import (
+                fused_attn_out,
+            )
+
+            x = fused_attn_out(q, cache, li, pos, x, lp["wo"])
+            attn = None
+        elif use_pallas and T == 1:
             # decode: all kv heads per grid step (grid (B, S/bs) with
             # fill-pruned tiles) — the generic kernel's (B, Kh, 1, S/bs)
             # grid pays ~0.3 us of per-step overhead on tiny work
@@ -273,17 +283,19 @@ def _block(
         else:
             k_eff, v_eff = layer_cache_view(cache, li, x.dtype)
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
-    attn = attn.reshape(B, T, H * d).astype(x.dtype)
-    if fused:
-        x = fused_out_residual(attn, x, lp["wo"], li)
-        if ffn_fused_eligible(cfg, lp["w_gateup"], lp["w_down"], B * T):
-            # x + FFN(rms_norm(x)) in one segmented-grid kernel: the
-            # [B, n_ffn] intermediate lives in VMEM scratch, never HBM
-            return ffn_fused_normed(
-                x, lp["ffn_norm"], lp["w_gateup"], lp["w_down"], li, cfg
-            ), cache
-    else:
-        x = x + _row_linear(attn, "wo")
+    if attn is not None:
+        attn = attn.reshape(B, T, H * d).astype(x.dtype)
+        if fused:
+            x = fused_out_residual(attn, x, lp["wo"], li)
+        else:
+            x = x + _row_linear(attn, "wo")
+    if fused and ffn_fused_eligible(cfg, lp["w_gateup"], lp["w_down"],
+                                    B * T):
+        # x + FFN(rms_norm(x)) in one segmented-grid kernel: the
+        # [B, n_ffn] intermediate lives in VMEM scratch, never HBM
+        return ffn_fused_normed(
+            x, lp["ffn_norm"], lp["w_gateup"], lp["w_down"], li, cfg
+        ), cache
 
     h = rms_norm(x, _norm_w("ffn_norm"), cfg.norm_eps,
                  cfg.norm_eps_inside_sqrt)

@@ -654,6 +654,57 @@ def bench_sweep(args) -> int:
             o_ref[:] += acc
             return
 
+        if variant in ("nosum", "noand", "dotsonly"):
+            # biasand ABLATIONS (wrong values, cost isolation):
+            #   nosum    - x block sums replaced by a constant: isolates
+            #              the per-group [bm,32]->[bm,1] reduction cost
+            #   noand    - nibble masks dropped (cast the raw byte rows
+            #              twice): isolates the 2 int8 ANDs
+            #   dotsonly - dots + ONE scale FMA per group only: the
+            #              floor of the 2-dots-per-group structure
+            p = w_ref[:]
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            half = KN_GROUP // 2
+            s16 = s * (1.0 / 16.0)
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            m_hi = jnp.asarray(-16, jnp.int8)
+            m_lo = jnp.asarray(0x0F, jnp.int8)
+            kone = jnp.float32(1.0)
+            for g in range(p.shape[0] // half):
+                rows = p[g * half:(g + 1) * half]
+                if variant == "noand":
+                    hi16 = rows.astype(x.dtype)
+                    lo = rows.astype(x.dtype)
+                else:
+                    hi16 = (rows & m_hi).astype(x.dtype)
+                    lo = (rows & m_lo).astype(x.dtype)
+                xh = x[:, g * KN_GROUP: g * KN_GROUP + half]
+                xl = x[:, g * KN_GROUP + half: (g + 1) * KN_GROUP]
+                if variant == "nosum" or variant == "dotsonly":
+                    sumh = suml = kone
+                else:
+                    sumh = jnp.sum(xh.astype(jnp.float32), axis=1,
+                                   keepdims=True)
+                    suml = jnp.sum(xl.astype(jnp.float32), axis=1,
+                                   keepdims=True)
+                ph = jax.lax.dot_general(
+                    xh, hi16, dims, preferred_element_type=jnp.float32)
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32)
+                if variant == "dotsonly":
+                    acc += ph * s16[2 * g].reshape(1, bn)
+                    acc += plo * s[2 * g + 1].reshape(1, bn)
+                else:
+                    sh = s[2 * g].reshape(1, bn)
+                    sl = s[2 * g + 1].reshape(1, bn)
+                    acc += ph * s16[2 * g].reshape(1, bn) + sumh * sh
+                    acc += (plo - 7.0 * suml) * sl
+            o_ref[:] += acc
+            return
+
         if variant == "overlap":
             # heavy compute that does NOT read the weight tile (beyond a
             # token touch): if the pipeline overlaps DMA with compute this
