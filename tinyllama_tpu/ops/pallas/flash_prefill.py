@@ -318,15 +318,19 @@ def flash_decode_heads_attention(
 
 def _flash_staged_kernel(
     li_ref, npool_ref, ntail_ref, q_ref, k_ref, v_ref, sk_ref, sv_ref,
-    *rest, compute_dtype, bs: int,
+    *rest, compute_dtype, Kh: int, G: int, bs: int,
 ):
     """Pool-tile walk + one staged-tail step over the monolithic cache.
 
-    Grid (B, Kh, n_s + 1): steps s < n_s walk the sequence's cache tiles
-    up to the pool fill (clamped past it, skipping their DMA), step
-    s == n_s attends the chunk-local staging tail (runtime/staging.py)
-    and writes the output. T == 1 decode only: every query row of a
-    (b, h) step shares one position, so masks are row-independent.
+    Grid (B, n_s + 1) with ALL kv heads resident per step (a [Kh, bs, d]
+    slab + a static in-kernel head loop): steps s < n_s walk the
+    sequence's cache tiles up to the pool fill (clamped past it,
+    skipping their DMA), step s == n_s attends the chunk-local staging
+    tail (runtime/staging.py) and writes the output. Putting Kh on the
+    grid instead costs ~0.3 us of machinery per step on tiny work — at
+    B=16 that was 320 steps/layer and the majority of serving device
+    time. T == 1 decode only: every query row of a step shares one
+    position, so masks are row-independent.
     """
     from tinyllama_tpu.ops.pallas.softmax_update import online_update
 
@@ -337,9 +341,8 @@ def _flash_staged_kernel(
         ks_ref = vs_ref = sks_ref = svs_ref = None
         o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    s = pl.program_id(2)
-    n_steps = pl.num_programs(2)  # n_s + 1
+    s = pl.program_id(1)
+    n_steps = pl.num_programs(1)  # n_s + 1
 
     @pl.when(s == 0)
     def _():
@@ -348,32 +351,38 @@ def _flash_staged_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     n_pool = npool_ref[b]
-    rows = slice(None)
 
     @pl.when((s < n_steps - 1) & (s * bs < n_pool))
     def _():
         key_pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        online_update(
-            q_ref[:].astype(compute_dtype), k_ref[:], v_ref[:],
-            None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
-            None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
-            key_pos < n_pool, rows, m_ref, l_ref, acc_ref, compute_dtype,
-        )
+        ok = key_pos < n_pool
+        for h in range(Kh):
+            rows = slice(h * G, (h + 1) * G)
+            online_update(
+                q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
+                None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
+                None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
+                ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
+            )
 
     @pl.when(s == n_steps - 1)
     def _():
-        Cs = sk_ref.shape[0]
+        Cs = sk_ref.shape[1]
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, Cs), 1)
-        online_update(
-            q_ref[:].astype(compute_dtype), sk_ref[:], sv_ref[:],
-            None if sks_ref is None else sks_ref[pl.ds(h, 1), :],
-            None if svs_ref is None else svs_ref[pl.ds(h, 1), :],
-            slot < ntail_ref[b], rows, m_ref, l_ref, acc_ref,
-            compute_dtype,
-        )
+        ok = slot < ntail_ref[b]
+        for h in range(Kh):
+            rows = slice(h * G, (h + 1) * G)
+            online_update(
+                q_ref[h].astype(compute_dtype), sk_ref[h], sv_ref[h],
+                None if sks_ref is None else sks_ref[pl.ds(h, 1), :],
+                None if svs_ref is None else svs_ref[pl.ds(h, 1), :],
+                ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
+            )
         denom = l_ref[:, :1]
         denom = jnp.where(denom > 0.0, denom, 1.0)
-        o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        out = (acc_ref[:] / denom).astype(o_ref.dtype)
+        for h in range(Kh):
+            o_ref[h] = out[h * G:(h + 1) * G]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -387,7 +396,7 @@ def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
 
     bs = _tile(S, 512)
     n_s = S // bs
-    grid = (B, Kh, n_s + 1)
+    grid = (B, n_s + 1)
 
     def _s_eff(b, s, npool):
         # clamp past-fill (and the tail step's) tile index to the last
@@ -395,49 +404,50 @@ def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
         return jnp.minimum(s, jnp.maximum(npool[b] - 1, 0) // bs)
 
     pool_spec = pl.BlockSpec(
-        (None, None, None, bs, d),
-        lambda b, h, s, li, npool, ntail:
-        (li[0], b, h, _s_eff(b, s, npool), 0),
+        (None, None, Kh, bs, d),
+        lambda b, s, li, npool, ntail:
+        (li[0], b, 0, _s_eff(b, s, npool), 0),
     )
     tail_spec = pl.BlockSpec(
-        (None, None, None, Cs, d),
-        lambda b, h, s, li, npool, ntail: (li[0], b, h, 0, 0),
+        (None, None, Kh, Cs, d),
+        lambda b, s, li, npool, ntail: (li[0], b, 0, 0, 0),
     )
     in_specs = [
-        pl.BlockSpec((None, None, G, d),
-                     lambda b, h, s, li, npool, ntail: (b, h, 0, 0)),
+        pl.BlockSpec((None, Kh, G, d),
+                     lambda b, s, li, npool, ntail: (b, 0, 0, 0)),
         pool_spec, pool_spec, tail_spec, tail_spec,
     ]
     operands = [qg, ck, cv, sk, sv]
     if quant:
         scale_spec = pl.BlockSpec(
             (None, None, Kh, bs),
-            lambda b, h, s, li, npool, ntail:
+            lambda b, s, li, npool, ntail:
             (li[0], b, 0, _s_eff(b, s, npool)),
         )
         tail_scale_spec = pl.BlockSpec(
             (None, None, Kh, Cs),
-            lambda b, h, s, li, npool, ntail: (li[0], b, 0, 0),
+            lambda b, s, li, npool, ntail: (li[0], b, 0, 0),
         )
         in_specs += [scale_spec, scale_spec, tail_scale_spec,
                      tail_scale_spec]
         operands += [ck_s, cv_s, sk_s, sv_s]
 
     kernel = functools.partial(
-        _flash_staged_kernel, compute_dtype=compute_dtype, bs=bs
+        _flash_staged_kernel, compute_dtype=compute_dtype, Kh=Kh, G=G,
+        bs=bs,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (None, None, G, d),
-            lambda b, h, s, li, npool, ntail: (b, h, 0, 0),
+            (None, Kh, G, d),
+            lambda b, s, li, npool, ntail: (b, 0, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, d), jnp.float32),
+            pltpu.VMEM((Kh * G, 128), jnp.float32),
+            pltpu.VMEM((Kh * G, 128), jnp.float32),
+            pltpu.VMEM((Kh * G, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -445,7 +455,7 @@ def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Kh * G * (S + Cs) * d,
