@@ -203,7 +203,13 @@ def prefill_bench(policy_name: str, T: int) -> int:
     wall = time.perf_counter() - t0
     try:
         events = trace.profile_device_events(run)
-        dev_s = sum(e.dur_us for e in events) / 1e6
+        # control-flow wrappers (the layer-scan while) span their
+        # children, which are traced separately — skip to avoid double
+        # counting the whole scan body
+        dev_s = sum(
+            e.dur_us for e in events
+            if not e.name.startswith(("while", "conditional"))
+        ) / 1e6
     except Exception:
         dev_s = 0.0
 

@@ -80,6 +80,9 @@ def _flash_attn_kernel(
         m_prev = m_ref[:, :1]  # [BTG, 1] (lanes replicated)
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
+        # (measured: computing exp on bf16 values changes nothing here —
+        # Mosaic upcasts transcendentals to f32 internally, so the S^2
+        # exp cost is a hard VPU floor at any storage precision)
         p = jnp.exp(scores - m_new)
         row_l = jnp.sum(p, axis=1, keepdims=True)
         if vs_ref is not None:
@@ -105,7 +108,7 @@ def _tile(n: int, cap: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("G", "interpret"))
-def _run(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
+def _run_flash_prefill(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
     B, Kh, TG, d = qg.shape
     S = ck.shape[3]
     compute_dtype = qg.dtype
@@ -517,7 +520,7 @@ def flash_prefill_attention(
         .transpose(0, 2, 1, 3, 4)
         .reshape(B, Kh, T * G, d)
     )
-    out = _run(
+    out = _run_flash_prefill(
         qg, cache.k, cache.v, cache.k_scale, cache.v_scale,
         jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
         G, interpret,

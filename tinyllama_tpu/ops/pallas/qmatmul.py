@@ -187,37 +187,60 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
 
 
 def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
-    """Prefill variant: dequantize the tile once, one big MXU dot."""
-    x_ref, w_ref, s_ref, o_ref = refs[-4:]
+    """Prefill variant: dequantize the tile once, one big MXU dot.
+
+    The f32 accumulator lives in VMEM scratch across the K loop and the
+    output block is written once, in the OUTPUT dtype, at the last K
+    step — emitting f32 and casting outside costs a full [M, N] HBM
+    round-trip per matmul (~2.7 ms per 2048-token prefill)."""
+    x_ref, w_ref, s_ref, o_ref, acc_ref = refs[-5:]
     k = pl.program_id(2)
+    n_k = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     w = w_ref[:]
     bn = w.shape[-1]
     if kind == "q8":
         bk = w.shape[0]
-        vals = w.astype(jnp.float32)
+        # [BK//32, BN] scales broadcast over each 32-row block (sublanes)
+        s3 = _load_scales(s_ref).reshape(bk // BLOCK_SIZE, 1, bn)
+        w_deq = (
+            (w.astype(jnp.float32)
+             .reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
+            .reshape(bk, bn)
+            .astype(compute_dtype)
+        )
     else:
         bk = w.shape[0] * 2
-        # biased-hi packing (codec._pack_q4_kn): AND-only int8 unpack,
-        # offsets folded per plane (hi16/16 + 8 - 7; lo - 7)
+        # biased-hi packing (codec._pack_q4_kn): AND-only int8 unpack.
+        # The offsets and the /16 fold into per-plane FMAs against
+        # prescaled block scales (dequant here is VPU-bound — every op
+        # per element is ~2% of the matmul):
+        #   hi plane (block 2g):  (hi16/16 + 1) * s  ==  hi16*(s/16) + s
+        #   lo plane (block 2g+1): (lo - 7) * s      ==  lo*s - 7s
+        s2 = _load_scales(s_ref).reshape(bk // KN_GROUP, 2, 1, bn)
+        s_hi = s2[:, 0]  # [BK//64, 1, BN] blocks covering the hi planes
+        s_lo = s2[:, 1]
         g8 = w.reshape(bk // KN_GROUP, KN_GROUP // 2, bn)
         hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
-            1.0 / 16.0
-        ) + 1.0
-        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) - 7.0
-        vals = jnp.concatenate([hi, lo], axis=1).reshape(bk, bn)
-    # [BK//32, BN] scales broadcast over each 32-row block (sublane dim)
-    s3 = _load_scales(s_ref).reshape(bk // BLOCK_SIZE, 1, bn)
-    w_deq = (
-        (vals.reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
-        .reshape(bk, bn)
-        .astype(compute_dtype)
-    )
-    o_ref[:] += _dot(x_ref[:], w_deq, ((1,), (0,)))
+            s_hi * (1.0 / 16.0)
+        ) + s_hi
+        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
+            s_lo
+        ) - 7.0 * s_lo
+        w_deq = (
+            jnp.concatenate([hi, lo], axis=1)
+            .reshape(bk, bn)
+            .astype(compute_dtype)
+        )
+    acc_ref[:] += _dot(x_ref[:], w_deq, ((1,), (0,)))
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
 #: VMEM budget for one weight-data tile (double-buffered by the pipeline).
@@ -290,10 +313,14 @@ def _qmatmul_2d(
         kernel = functools.partial(
             _qmm_kernel_smallm, kind=kind, compute_dtype=x.dtype, aq8=aq8
         )
+        scratch = []
+        out_elt = jnp.float32  # [<=8, N] cast outside is free
     else:
         kernel = functools.partial(
             _qmm_kernel_bigm, kind=kind, compute_dtype=x.dtype
         )
+        scratch = [pltpu.VMEM((bm, bn), jnp.float32)]
+        out_elt = out_dtype  # written once from the f32 scratch acc
 
     flops = 2 * M * N * K
     bytes_accessed = (
@@ -308,7 +335,7 @@ def _qmatmul_2d(
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "arbitrary"),
     )
-    out_shape = jax.ShapeDtypeStruct((M, N), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((M, N), out_elt)
 
     operands = [x]
     if layer is None:
@@ -326,6 +353,7 @@ def _qmatmul_2d(
             in_specs=in_specs,
             out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
             out_shape=out_shape,
+            scratch_shapes=scratch,
             compiler_params=compiler_params,
             cost_estimate=cost,
             interpret=interpret,
@@ -346,6 +374,7 @@ def _qmatmul_2d(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, li: (m, n)),
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,

@@ -146,6 +146,11 @@ def bucket_report(events: list[DeviceEvent], steps: int) -> BucketReport:
     rep = BucketReport(steps=steps)
     for ev in events:
         rep.per_kernel[ev.name] = ev
+        if ev.name.startswith(("while", "conditional")):
+            # control-flow wrapper events span their children, which are
+            # traced separately — counting both double-counts the loop
+            # body (an entire decode step / prefill layer scan)
+            continue
         rep.buckets_us[classify(ev.name)] = (
             rep.buckets_us.get(classify(ev.name), 0.0) + ev.dur_us
         )
