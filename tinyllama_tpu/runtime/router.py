@@ -43,7 +43,6 @@ from __future__ import annotations
 import argparse
 import json
 import threading
-import time
 import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
