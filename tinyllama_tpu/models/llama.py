@@ -378,7 +378,7 @@ def forward(
             tp_axis=tp_axis, aq8=policy.aq8, tp_overlap=tp_overlap,
         )
 
-    if scanned_ws:
+    if scanned_ws or B * T > 1:
         def body(carry, scanned):
             li, lp_scanned = scanned
             x, cache = run_block(*carry, li, lp_scanned)
@@ -390,10 +390,14 @@ def forward(
             (jnp.arange(cfg.n_layers, dtype=jnp.int32), scanned_ws),
         )
     else:
-        # everything is layer-stacked (the fused quantized path): a
-        # fori_loop hands the body its layer index directly — the scan's
-        # per-iteration xs slice of the arange costs ~0.3 us/layer of
-        # pure op-dispatch at decode
+        # b1 decode with everything layer-stacked (the fused quantized
+        # path): a fori_loop hands the body its layer index directly,
+        # dropping the scan's per-iteration xs slice + carry machinery
+        # (~2.5 us/layer-step of dispatch; 752 -> 777 tok/s measured).
+        # Batched serving keeps the scan: under the scheduler's
+        # interleaved admission dispatches the fori variant measurably
+        # regressed both serve modes (2471 -> 1590 monolithic, 3486 ->
+        # ~2300-3160 paged at 32 slots) — cause not isolated, gated off
         x, cache = jax.lax.fori_loop(
             0, cfg.n_layers,
             lambda li, carry: run_block(*carry, li, {}),
