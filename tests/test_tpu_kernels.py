@@ -180,3 +180,128 @@ def test_flash_paged_compiled_vs_interpret(kv_dtype):
         flash_paged_attention(q, cache, li, pos, interpret=False),
         flash_paged_attention(q, cache, li, pos, interpret=True),
     )
+
+
+@requires_tpu
+@pytest.mark.parametrize("kv_dtype", ["bf16", "i8"])
+def test_decode_heads_compiled_vs_interpret(kv_dtype):
+    """The heads-merged T=1 kernel (batched monolithic decode)."""
+    from tinyllama_tpu.ops.pallas.flash_prefill import (
+        flash_decode_heads_attention,
+    )
+    from tinyllama_tpu.runtime.kvcache import init_cache, update_cache_at_layer
+
+    B, pos0 = 2, 130
+    d = CFG.d_head
+    rng = np.random.default_rng(8)
+    cache = init_cache(CFG, B, kv_dtype)
+    li = jnp.int32(1)
+    kh = jnp.asarray(rng.standard_normal((B, pos0 + 1, CFG.n_kv_heads, d)),
+                     jnp.bfloat16)
+    vh = jnp.asarray(rng.standard_normal((B, pos0 + 1, CFG.n_kv_heads, d)),
+                     jnp.bfloat16)
+    cache = update_cache_at_layer(cache, li, kh, vh, jnp.zeros((B,), jnp.int32))
+    q = jnp.asarray(rng.standard_normal((B, 1, CFG.n_heads, d)), jnp.bfloat16)
+    pos = jnp.asarray([pos0, 40], jnp.int32)
+    _close(
+        flash_decode_heads_attention(q, cache, li, pos, interpret=False),
+        flash_decode_heads_attention(q, cache, li, pos, interpret=True),
+    )
+
+
+@requires_tpu
+@pytest.mark.parametrize("kind", ["q4", "q8"])
+def test_attn_out_fused_compiled_vs_interpret(kind):
+    """The b1 attention+wo+residual segmented-grid kernel: fill-pruned
+    phase A + wo blockdot off the scratch in phase B."""
+    from tinyllama_tpu.ops.pallas.attn_out_fused import fused_attn_out
+    from tinyllama_tpu.runtime.kvcache import init_cache, update_cache_at_layer
+
+    params, _ = _params(kind)
+    lw = params["layers"]
+    pos0 = 130
+    d = CFG.d_head
+    rng = np.random.default_rng(9)
+    cache = init_cache(CFG, 1, "i8")
+    li = jnp.int32(1)
+    kh = jnp.asarray(rng.standard_normal((1, pos0 + 1, CFG.n_kv_heads, d)),
+                     jnp.bfloat16)
+    vh = jnp.asarray(rng.standard_normal((1, pos0 + 1, CFG.n_kv_heads, d)),
+                     jnp.bfloat16)
+    cache = update_cache_at_layer(cache, li, kh, vh, jnp.zeros((1,), jnp.int32))
+    q = jnp.asarray(rng.standard_normal((1, 1, CFG.n_heads, d)), jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((1, 1, CFG.n_embd)), jnp.bfloat16)
+    pos = jnp.asarray([pos0], jnp.int32)
+    _close(
+        fused_attn_out(q, cache, li, pos, res, lw["wo"], interpret=False),
+        fused_attn_out(q, cache, li, pos, res, lw["wo"], interpret=True),
+    )
+
+
+@requires_tpu
+@pytest.mark.parametrize("paged", [False, True])
+def test_staged_attention_compiled_vs_interpret(paged):
+    """The heads-merged staged-tail kernels (batched serving decode):
+    pool walk + chunk-local tail, monolithic and page-walking."""
+    from tinyllama_tpu.runtime.staging import (
+        stage_cache, update_staged_at_layer,
+    )
+
+    B, C = 2, 8
+    d = CFG.d_head
+    rng = np.random.default_rng(10)
+    li = jnp.int32(1)
+    base = jnp.asarray([130, 40], jnp.int32)
+    if paged:
+        from tinyllama_tpu.ops.pallas.flash_paged import (
+            flash_paged_staged_attention as attn_fn,
+        )
+        from tinyllama_tpu.runtime.paged import (
+            init_paged_cache, update_paged_at_layer,
+        )
+
+        pool = init_paged_cache(CFG, n_pages=9, batch=B, kv_dtype="i8")
+        table = np.zeros((B, pool.table.shape[1]), np.int32)
+        table[0, :2] = [3, 5]
+        table[1, :2] = [7, 1]
+        pool = pool.with_table(jnp.asarray(table))
+        for start in (0, 128):
+            kh = jnp.asarray(
+                rng.standard_normal((B, 128, CFG.n_kv_heads, d)),
+                jnp.bfloat16)
+            vh = jnp.asarray(
+                rng.standard_normal((B, 128, CFG.n_kv_heads, d)),
+                jnp.bfloat16)
+            pool = update_paged_at_layer(
+                pool, li, kh, vh, jnp.full((B,), start, jnp.int32)
+            )
+    else:
+        from tinyllama_tpu.ops.pallas.flash_prefill import (
+            flash_staged_attention as attn_fn,
+        )
+        from tinyllama_tpu.runtime.kvcache import (
+            init_cache, update_cache_at_layer,
+        )
+
+        pool = init_cache(CFG, B, "i8")
+        kh = jnp.asarray(rng.standard_normal((B, 131, CFG.n_kv_heads, d)),
+                         jnp.bfloat16)
+        vh = jnp.asarray(rng.standard_normal((B, 131, CFG.n_kv_heads, d)),
+                         jnp.bfloat16)
+        pool = update_cache_at_layer(pool, li, kh, vh,
+                                     jnp.zeros((B,), jnp.int32))
+
+    st = stage_cache(pool, base, C)
+    # stage 3 decode steps' k/v into the tail
+    for t in range(3):
+        kn = jnp.asarray(rng.standard_normal((B, 1, CFG.n_kv_heads, d)),
+                         jnp.bfloat16)
+        vn = jnp.asarray(rng.standard_normal((B, 1, CFG.n_kv_heads, d)),
+                         jnp.bfloat16)
+        st = update_staged_at_layer(st, li, kn, vn, base + t)
+    q = jnp.asarray(rng.standard_normal((B, 1, CFG.n_heads, d)), jnp.bfloat16)
+    pos = base + 2
+    _close(
+        attn_fn(q, st, li, pos, interpret=False),
+        attn_fn(q, st, li, pos, interpret=True),
+    )

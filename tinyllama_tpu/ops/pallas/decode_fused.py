@@ -85,12 +85,19 @@ def _norm_qkv(x, nw, data, scales, li, kind, eps, inside, bm, interpret):
     # feeds the call (a scan-sliced [D] row costs ~1 fusion op per
     # layer per token). Mosaic requires the block's last two dims to
     # equal the array's, hence the [L, 1, D] shape rather than [L, D].
+    # A caller passing one [D] row with a nonzero li clamps to row 0
+    # (an out-of-bounds block index is a device fault when compiled,
+    # though interpret mode happens to tolerate it).
+    nw_rows = nw.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, D), lambda n, k, li: (0, 0)),
-            pl.BlockSpec((None, 1, D), lambda n, k, li: (li[0], 0, 0)),
+            pl.BlockSpec(
+                (None, 1, D),
+                lambda n, k, li: (jnp.minimum(li[0], nw_rows - 1), 0, 0),
+            ),
             pl.BlockSpec((None, bk // denom, bn),
                          lambda n, k, li: (li[0], k, n)),
             pl.BlockSpec((None, bk // BLOCK_SIZE, bn),

@@ -315,13 +315,19 @@ def _ffn_fused_normed(
     )
     # stacked [L, 1, D] norm weights are layer-indexed in-kernel via a
     # None leading block dim (see decode_fused._norm_qkv — Mosaic needs
-    # the block's last two dims to equal the array's)
+    # the block's last two dims to equal the array's). Clamp for a
+    # single-row nw with nonzero li: an out-of-bounds block index is a
+    # device fault when compiled.
+    nw_rows = nw.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((bm, D), lambda t, li: (0, 0)),
-            pl.BlockSpec((None, 1, D), lambda t, li: (li[0], 0, 0)),
+            pl.BlockSpec(
+                (None, 1, D),
+                lambda t, li: (jnp.minimum(li[0], nw_rows - 1), 0, 0),
+            ),
             pl.BlockSpec((None, bk_gu // denom, bn_gu), gu_map),
             pl.BlockSpec((None, bk_gu // BLOCK_SIZE, bn_gu), gu_map),
             pl.BlockSpec((None, bk_d // denom, D), wd_map),
