@@ -151,6 +151,27 @@ class TestRoundTrip:
                               jnp.zeros((1,), jnp.int32))
         np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
 
+    @pytest.mark.parametrize("dtype", ["fp16", "q8", "q4"])
+    def test_device_decode_equals_host_decode(self, dense_params, tmp_path,
+                                              dtype):
+        """The HBM-side payload decode (raw bytes -> jnp deinterleave/
+        pack, the default) must produce byte-identical params to the
+        numpy host decode for every file dtype."""
+        p = tmp_path / f"m.{dtype}.gten"
+        save_gten_checkpoint(p, CFG, dense_params, dtype)
+        dev, pol_d = load_gten_checkpoint(p, CFG, device_decode=True)
+        host, pol_h = load_gten_checkpoint(p, CFG, device_decode=False)
+        assert pol_d == pol_h
+        flat_d = jax.tree_util.tree_leaves_with_path(dev)
+        flat_h = jax.tree_util.tree_leaves_with_path(host)
+        assert len(flat_d) == len(flat_h)
+        for (kd, vd), (kh, vh) in zip(flat_d, flat_h):
+            assert kd == kh
+            assert vd.dtype == vh.dtype, kd
+            np.testing.assert_array_equal(
+                np.asarray(vd), np.asarray(vh), err_msg=str(kd)
+            )
+
     def test_weight_order_mismatch_detected(self, dense_params, tmp_path):
         p = tmp_path / "m.gten"
         save_gten_checkpoint(p, CFG, dense_params, "fp16")

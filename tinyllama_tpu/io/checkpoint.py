@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,13 +39,23 @@ def load_gten_checkpoint(
     path: str | Path,
     cfg: ModelConfig,
     policy: DtypePolicy | None = None,
+    device_decode: bool = True,
 ) -> tuple[Params, DtypePolicy]:
     """Load a .gten file into the runtime params pytree (layers stacked on a
     leading axis for lax.scan). Returns (params, effective policy).
 
     Norm weights (always fp16 in the file, tinyllama.cpp:380-388) become
     f32 — exact. Dense fp16 weights are stored in the policy's wdtype.
+
+    ``device_decode`` (default) ships the raw record payloads to the
+    accelerator and deinterleaves/packs them with jnp ops there; the
+    numpy path (False) decodes on the host. Identical results; on this
+    host the device path loads the 2.2 GB fp16 file in seconds where
+    host-side numpy passes took minutes (file reads and host->device
+    DMA stream at ~1.5 GB/s, but any userspace numpy pass crawls).
     """
+    if device_decode:
+        return _load_gten_device(path, cfg, policy)
     file_dtype, flat = gten.read_gten(path, cfg)
     if policy is None:
         policy = POLICIES[_FILE_TO_POLICY[file_dtype]]
@@ -147,6 +158,141 @@ def load_gten_checkpoint(
         "lm_head": weight(flat["lm_head"], kn=True),
     }
     return params, policy
+
+
+# ---------------------------------------------------------------- device decode
+
+
+def _dev_bytes(mv) -> jnp.ndarray:
+    """Raw payload bytes -> device uint8 (one zero-copy host view + one
+    host->device DMA; no numpy pass over the data)."""
+    return jnp.asarray(np.frombuffer(mv, np.uint8))
+
+
+def _dev_fp16(mv, shape) -> jnp.ndarray:
+    u8 = _dev_bytes(mv)
+    return jax.lax.bitcast_convert_type(
+        u8.reshape(-1, 2), jnp.float16
+    ).reshape(shape)
+
+
+def _dev_q_blocks(mv, shape, dt):
+    """Interleaved gten block structs -> (vals, f16 deltas), on device.
+
+    q8: blocks of [f16 delta | 32 x i8]  -> vals int8 [d_out, d_in]
+    q4: blocks of [f16 delta | 16 x u8]  -> vals uint8 [d_out, d_in]
+        UNPACKED offset-7 values (gten packs per half-block of 16:
+        byte j = q[j] << 4 | q[j+16], tinyllama_to_gten.py:83-89)
+    """
+    from tinyllama_tpu.quant.codec import BLOCK_SIZE
+
+    d_out, d_in = shape if len(shape) == 2 else (1, shape[0])
+    nb = d_in // BLOCK_SIZE
+    stride = 2 + (BLOCK_SIZE if dt == "q8" else BLOCK_SIZE // 2)
+    u8 = _dev_bytes(mv).reshape(d_out * nb, stride)
+    deltas = jax.lax.bitcast_convert_type(
+        u8[:, :2].reshape(d_out, nb, 2), jnp.float16
+    ).reshape(d_out, nb)
+    qb = u8[:, 2:]
+    if dt == "q8":
+        vals = jax.lax.bitcast_convert_type(qb, jnp.int8).reshape(
+            d_out, d_in
+        )
+    else:
+        hi = qb >> 4
+        lo = qb & 0x0F
+        vals = jnp.concatenate([hi, lo], axis=1).reshape(d_out, d_in)
+    return vals, deltas
+
+
+def _load_gten_device(
+    path: str | Path, cfg: ModelConfig, policy: DtypePolicy | None
+) -> tuple[Params, DtypePolicy]:
+    """Device-side gten decode: payloads travel raw; deinterleave, nibble
+    unpack, layout packing, and layer stacking are all jnp ops in HBM."""
+    from tinyllama_tpu.quant.codec import (
+        SCALE_DTYPE, _kernel_scales, _pack_q4_kn, pack_q4_nk,
+    )
+
+    file_dtype, recs = gten.read_gten_records(path, cfg)
+    if policy is None:
+        policy = POLICIES[_FILE_TO_POLICY[file_dtype]]
+    if (file_dtype == "q8") != (policy.wdtype == "q8") or (
+        (file_dtype == "q4") != (policy.wdtype == "q4")
+    ):
+        if file_dtype != "fp16" or policy.is_quantized:
+            raise ValueError(
+                f"file dtype {file_dtype} incompatible with policy "
+                f"{policy.wdtype}"
+            )
+    quant = file_dtype in ("q8", "q4")
+    wdt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+           "f16": jnp.float16}.get(policy.wdtype)
+
+    def decode(key):
+        mv, shape, dt = recs[key]
+        if dt == "fp16":
+            return _dev_fp16(mv, shape)
+        return _dev_q_blocks(mv, shape, dt)
+
+    def qt_kn(vals, deltas) -> QTensor:
+        scales = _kernel_scales(
+            jnp.swapaxes(deltas.astype(SCALE_DTYPE), -1, -2)
+        )
+        if file_dtype == "q4":
+            return QTensor(_pack_q4_kn(vals), scales, "q4", "kn")
+        return QTensor(jnp.swapaxes(vals, -1, -2), scales, "q8", "kn")
+
+    def qt_nk(vals, deltas) -> QTensor:
+        scales = deltas.astype(SCALE_DTYPE)
+        if file_dtype == "q4":
+            return QTensor(pack_q4_nk(vals), scales, "q4")
+        return QTensor(vals, scales, "q8")
+
+    merges = {
+        "wqkv": ("wq", "wk", "wv"),
+        "wo": ("wo",),
+        "w_gateup": ("w_gate", "w_up"),
+        "w_down": ("w_down",),
+        "attn_norm": ("attn_norm",),
+        "ffn_norm": ("ffn_norm",),
+    }
+    layers = {}
+    for name, parts in merges.items():
+        per = [[decode(f"{p}.{i}") for p in parts]
+               for i in range(cfg.n_layers)]
+        if name.endswith("norm"):
+            layers[name] = jnp.stack(
+                [p[0].astype(jnp.float32) for p in per]
+            )
+        elif quant:
+            vals = jnp.stack(
+                [jnp.concatenate([d for d, _ in ps], axis=0)
+                 for ps in per]
+            )
+            deltas = jnp.stack(
+                [jnp.concatenate([s for _, s in ps], axis=0)
+                 for ps in per]
+            )
+            layers[name] = qt_kn(vals, deltas)
+        else:
+            layers[name] = jnp.stack(
+                [jnp.concatenate(ps, axis=0) for ps in per]
+            ).astype(wdt)
+
+    def top(key, kn: bool):
+        d = decode(key)
+        if quant:
+            return qt_kn(*d) if kn else qt_nk(*d)
+        return d.astype(wdt)
+
+    params: Params = {
+        "embed": top("embed", kn=False),
+        "layers": layers,
+        "norm": decode("norm").astype(jnp.float32),
+        "lm_head": top("lm_head", kn=True),
+    }
+    return jax.block_until_ready(params), policy
 
 
 #: HF parameter names composing each (fused) runtime layer weight

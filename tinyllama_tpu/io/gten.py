@@ -235,6 +235,49 @@ def sniff_dtype(path: str | Path, cfg: ModelConfig) -> str:
     raise ValueError(f"cannot infer dtype from payload size {payload_bytes} of {name}")
 
 
+def read_gten_records(path: str | Path, cfg: ModelConfig):
+    """Parse a .gten file's structure WITHOUT decoding payloads.
+
+    -> (file_dtype, {runtime_name or runtime_name.i:
+        (payload memoryview, logical shape, payload dtype str)})
+
+    The memoryviews are zero-copy windows into the file bytes — the
+    device-decode loader (io/checkpoint.py) ships them to the chip raw
+    and deinterleaves the block structs with jnp ops there, because on
+    this class of host a single numpy pass over the payloads costs more
+    than the whole HBM-side decode.
+    """
+    data = Path(path).read_bytes()
+    r = _Reader(data)
+    magic = r.i64()
+    if magic != GTEN_MAGIC:
+        raise ValueError(f"bad magic: {magic:#x}")
+    shapes = weight_shapes(cfg)
+    file_dtype = sniff_dtype(path, cfg)
+
+    out: dict[str, tuple] = {}
+
+    def read_one(runtime_name: str, is_norm: bool, key: str | None = None):
+        r.name()  # layer header
+        wname = r.name()
+        mv = r.payload()
+        dt = "fp16" if is_norm else file_dtype
+        out[key or runtime_name] = (mv, shapes[runtime_name], dt)
+        return wname
+
+    read_one("embed", False)
+    for i in range(cfg.n_layers):
+        for suffix, rname, is_norm in _BLOCK_WEIGHTS:
+            got = read_one(rname, is_norm, key=f"{rname}.{i}")
+            expect = f"model.layers.{i}.{suffix}"
+            if got != expect:
+                raise ValueError(f"weight order mismatch: {got} != {expect}")
+    read_one("norm", True)
+    read_one("lm_head", False)
+    assert r.off == len(data), (r.off, len(data))
+    return file_dtype, out
+
+
 def read_gten(path: str | Path, cfg: ModelConfig):
     """Parse a .gten file -> (file_dtype, flat {runtime_name or
     runtime_name.i: array|/(data, scales)/} in TPU layout, numpy)."""

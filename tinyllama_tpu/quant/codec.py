@@ -187,12 +187,20 @@ def quantize_q4(w: jax.Array, layout: str = "nk") -> QTensor:
             kind="q4",
             layout="kn",
         )
-    groups = q.reshape(*w.shape[:-1], d_in // G, G)
+    return QTensor(data=pack_q4_nk(q.reshape(w.shape)), scales=scales,
+                   kind="q4")
+
+
+def pack_q4_nk(vals: jax.Array) -> jax.Array:
+    """Unpacked offset-7 uint8 values [.., d_in] -> "nk" group-planar
+    packed int8 [.., d_in//2] (jnp; numpy twin: tpu_q4_pack)."""
+    d_in = vals.shape[-1]
+    G = q4_group_size(d_in)
+    groups = vals.astype(jnp.uint8).reshape(*vals.shape[:-1], d_in // G, G)
     hi = groups[..., : G // 2]
     lo = groups[..., G // 2 :]
-    packed = ((hi << 4) | (lo & 0x0F)).reshape(*w.shape[:-1], d_in // 2)
-    packed = jax.lax.bitcast_convert_type(packed, jnp.int8)
-    return QTensor(data=packed, scales=scales, kind="q4")
+    packed = ((hi << 4) | (lo & 0x0F)).reshape(*vals.shape[:-1], d_in // 2)
+    return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
 
 def quantize(w: jax.Array, kind: str, layout: str = "nk") -> QTensor:
