@@ -247,7 +247,9 @@ def build_ref_step(cfg: ModelConfig, params: Params, s_max: int):
         kq, kd, vq, vd = caches
         e_data, e_scales = w["emb"]
         if is_q8_embed:
-            xq, xd = e_data[token], e_scales[token]
+            # the file's fp16 deltas read back to f32 on use (ops.h
+            # q8_dequantize_block); the scan carry's delta slot is f32
+            xq, xd = e_data[token], e_scales[token].astype(jnp.float32)
         else:
             row = QTensor(
                 data=e_data[token][None],
