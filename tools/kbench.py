@@ -395,7 +395,10 @@ def bench_sweep(args) -> int:
       stream    same grid/BlockSpecs, near-zero compute — the DMA/pipeline
                 ceiling for that tiling (Pallas DMAs whole blocks no matter
                 what the kernel reads)
-      cur       the production blockdot body (int32 nibble unpack)
+      biasand   the PRODUCTION blockdot body since round 3 (AND-only
+                unpack over the biased-hi packing; timing here reuses the
+                standard packing — wrong values, identical op structure)
+      cur       the pre-round-3 body (int32 shift/mask nibble unpack)
       i8shift   nibble unpack on int8 directly (no int32 convert)
       dq        tile-dequant body (bigm style) at small m
     Tiles: --bn / --bk accept comma lists; 0 = auto (production pick).
