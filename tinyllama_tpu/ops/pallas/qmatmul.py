@@ -418,7 +418,7 @@ def qmatmul(
     if bm is None:
         # smallest sublane multiple covering M, capped: no padded rows for
         # short prefills (M is already a power-of-two bucket upstream)
-        bm = _SMALL_M if M <= _SMALL_M else min(256, (M + 7) // 8 * 8)
+        bm = _SMALL_M if M <= _SMALL_M else min(512, (M + 7) // 8 * 8)
     pad_m = (-M) % bm
     if pad_m:
         x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
