@@ -287,9 +287,14 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
         per_req = -(-(prompt_len + max_new + chunk) // PAGE_SIZE)
         n_pages = 1 + batch * per_req
 
+    # bucket downshift (paged only): BENCH_DOWNSHIFT=0 pins chunks at
+    # full width to measure the parked-slot ride cost it removes
+    downshift = paged and os.environ.get("BENCH_DOWNSHIFT", "1") != "0"
+
     def run_round():
         sched = ContinuousBatcher(engine, gen, max_batch=batch,
-                                  paged=paged, n_pages=n_pages)
+                                  paged=paged, n_pages=n_pages,
+                                  downshift=downshift)
         for i in range(n_reqs):
             sched.submit(
                 [2 + (i + j) % 1000 for j in range(prompt_len)],
@@ -319,7 +324,7 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
         ),
         "detail": {
             "policy": policy_name, "slots": batch, "requests": n_reqs,
-            "paged": paged, "n_pages": n_pages,
+            "paged": paged, "n_pages": n_pages, "downshift": downshift,
             "prompt_len": prompt_len, "max_new": max_new,
             "generated": toks, "wall_s": round(wall, 2),
             "ttft_p50_ms": round(

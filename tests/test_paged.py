@@ -273,3 +273,65 @@ def test_paged_generate_under_dp2_tp2():
                  mesh=make_mesh(tp=2, dp=2), use_pallas=False, paged=True)
     got, _ = eng.generate_batch(prompts, gen)
     assert got == want
+
+
+def test_bucket_downshift_matches_full_width():
+    """Low occupancy on a wide batcher: decode chunks compact into the
+    smallest power-of-two bucket holding the active slots. Outputs must
+    be identical to full-width (downshift=False) chunks and to dedicated
+    Engine.generate runs — compaction moves table/pos/logits rows only,
+    never the KV pages."""
+    params = llama.init_dense_params(CFG, jax.random.PRNGKey(0))
+    engine = Engine(CFG, F32, params, max_batch=4)
+    gen = GenerationConfig(n_predict=26, greedy=True, eos_token=-1,
+                           chunk_size=4)
+    # staggered lengths: occupancy decays 4 -> 1 as requests finish
+    prompts = [[3, 7, 1], [9, 2, 4, 8, 5], [11, 6], [1, 2, 3, 4]]
+    max_news = [3, 7, 21, 12]
+    want = {
+        i: engine.generate(p, gen)[0][: max_news[i]]
+        for i, p in enumerate(prompts)
+    }
+
+    buckets_seen = set()
+    for downshift in (False, True):
+        sched = ContinuousBatcher(engine, gen, max_batch=4, paged=True,
+                                  page_size=PAGE, downshift=downshift,
+                                  downshift_patience=1)
+        ids = {
+            sched.submit(p, max_new=max_news[i]): i
+            for i, p in enumerate(prompts)
+        }
+        while sched.has_work:
+            sched.step()
+            if downshift:
+                buckets_seen.add(sched._bucket)
+        for rid, i in ids.items():
+            assert sched.results[rid].output == want[i], (downshift, i)
+        assert sched.alloc.free_pages == sched.alloc.n_pages - 1
+    # the long tail (1 active slot) must actually have shrunk the bucket
+    assert min(buckets_seen) == 1 and len(buckets_seen) >= 2, buckets_seen
+
+
+def test_bucket_upshift_on_late_arrivals():
+    """A shrunk batcher must grow back (immediately) when new requests
+    land, with no cross-request state leaks through the compaction."""
+    params = llama.init_dense_params(CFG, jax.random.PRNGKey(0))
+    engine = Engine(CFG, F32, params, max_batch=4)
+    gen = GenerationConfig(n_predict=30, greedy=True, eos_token=-1,
+                           chunk_size=4)
+    prompts = [[3, 7, 1], [9, 2, 4, 8, 5], [11, 6], [1, 2, 3, 4]]
+    want = {i: engine.generate(p, gen)[0] for i, p in enumerate(prompts)}
+
+    sched = ContinuousBatcher(engine, gen, max_batch=4, paged=True,
+                              page_size=PAGE, downshift_patience=1)
+    first = sched.submit(prompts[0])
+    for _ in range(3):  # shrink to bucket 1 mid-flight
+        sched.step()
+    assert sched._bucket == 1
+    late = {sched.submit(p): i for i, p in enumerate(prompts[1:], start=1)}
+    results = sched.run()
+    assert sched._bucket == 4  # upshift happened
+    assert results[first].output == want[0]
+    for rid, i in late.items():
+        assert results[rid].output == want[i], f"late prompt {i}"

@@ -144,3 +144,36 @@ def test_failover_and_recovery(cluster):
             break
         time.sleep(0.1)
     assert all(b["healthy"] for b in _health(RPORT)["backends"])
+
+
+def test_latency_weighted_pick_unit():
+    """pick() minimizes expected wait (depth+1) x EWMA TTFB; backends
+    without a sample score at the fleet mean (pure least-loaded)."""
+    from tinyllama_tpu.runtime.router import Router
+
+    r = Router(["http://127.0.0.1:1", "http://127.0.0.1:2"],
+               probe_interval=60.0, max_failures=1)
+    try:
+        a, b = r.backends
+        a.healthy = b.healthy = True
+        r.record_latency(a, 0.1)
+        r.record_latency(b, 0.4)
+        assert r.pick() is a  # equal depth -> faster backend
+        a.inflight = 4  # (4+1)*0.1 = 0.5 > (0+1)*0.4
+        assert r.pick() is b
+        r.record_latency(b, 1.2)  # EWMA folds new samples
+        assert b.ewma_ttfb == pytest.approx(0.7 * 0.4 + 0.3 * 1.2)
+        b.ewma_ttfb = None  # unseen backend: fleet-mean service time
+        a.inflight, b.queued = 0, 1
+        assert r.pick() is a
+    finally:
+        r.close()
+
+
+def test_latency_ewma_recorded_on_proxy(cluster):
+    """A proxied request leaves a TTFB sample on the serving backend."""
+    r = _post(RPORT, {"prompt": "hi", "max_new": 4})
+    assert r.status == 200
+    r.read()
+    body = _health(RPORT)
+    assert any(b["ewma_ttfb_s"] for b in body["backends"])

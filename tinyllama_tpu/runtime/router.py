@@ -12,11 +12,15 @@ The reference has no counterpart (single-process chat loop,
 
 Design:
 
-* **Least-loaded routing.** Every backend's `/healthz` is polled by a
-  probe thread (`probe_interval`); its `queued` count plus the router's
-  own in-flight counter is the load metric. New requests go to the
-  healthy backend with the lowest load — a cheap approximation of
-  join-shortest-queue that needs no backend cooperation.
+* **Latency-weighted least-loaded routing.** Every backend's `/healthz`
+  is polled by a probe thread (`probe_interval`); its `queued` count
+  plus the router's own in-flight counter is the queue depth. Each
+  backend also carries an EWMA of its measured time-to-first-byte, so
+  the routing score is the *expected wait* `(depth + 1) x ewma_ttfb` —
+  join-shortest-queue that also sees heterogeneous replicas (a host
+  with slower chips, a cold jit cache, a busy NIC) without any backend
+  cooperation. Until a backend has served a request its service time
+  is taken as the fleet mean (everyone equal -> pure least-loaded).
 * **Failure detection.** A probe or proxy error marks the backend
   suspect; `max_failures` consecutive errors take it out of rotation.
   Probing continues (the same thread), so a restarted host rejoins
@@ -43,6 +47,7 @@ from __future__ import annotations
 import argparse
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 from dataclasses import dataclass, field
@@ -57,6 +62,7 @@ class Backend:
     queued: int = 0  # from the last /healthz probe
     slots: int = 0
     inflight: int = 0  # requests this router is holding open
+    ewma_ttfb: float | None = None  # measured service latency, seconds
     lock: threading.Lock = field(default_factory=threading.Lock)
 
     @property
@@ -73,7 +79,9 @@ class Router:
         probe_interval: float = 2.0,
         max_failures: int = 2,
         timeout: float = 300.0,
+        latency_alpha: float = 0.3,
     ):
+        self.latency_alpha = latency_alpha
         assert backend_urls, "router needs at least one backend"
         self.backends = [Backend(u.rstrip("/")) for u in backend_urls]
         self.probe_interval = probe_interval
@@ -128,21 +136,42 @@ class Router:
             if b.consecutive_failures >= self.max_failures:
                 b.healthy = False
 
+    def record_latency(self, b: Backend, seconds: float) -> None:
+        """Fold one measured time-to-first-byte into the backend's EWMA
+        service time (do_POST calls this on every successful proxy)."""
+        a = self.latency_alpha
+        with b.lock:
+            b.ewma_ttfb = (
+                seconds if b.ewma_ttfb is None
+                else (1 - a) * b.ewma_ttfb + a * seconds
+            )
+
     def pick(self, exclude: set[str] = frozenset()) -> Backend | None:
-        """Least-loaded healthy backend not in `exclude`."""
+        """Healthy backend (not in `exclude`) with the lowest expected
+        wait: (queue depth + 1) x EWMA service time. Backends with no
+        latency sample yet score with the fleet mean, so a fresh/just-
+        recovered replica is neither shunned nor flooded."""
         live = [
             b for b in self.backends
             if b.healthy and b.url not in exclude
         ]
         if not live:
             return None
-        return min(live, key=lambda b: b.load)
+        known = [b.ewma_ttfb for b in live if b.ewma_ttfb is not None]
+        default = sum(known) / len(known) if known else 1.0
+        return min(
+            live,
+            key=lambda b: (b.load + 1) * (
+                b.ewma_ttfb if b.ewma_ttfb is not None else default
+            ),
+        )
 
     def health(self) -> dict:
         per = [
             {
                 "url": b.url, "healthy": b.healthy, "queued": b.queued,
                 "slots": b.slots, "inflight": b.inflight,
+                "ewma_ttfb_s": b.ewma_ttfb,
             }
             for b in self.backends
         ]
@@ -188,6 +217,7 @@ def make_handler(router: Router):
                 with b.lock:
                     b.inflight += 1
                 started = False
+                t0 = time.monotonic()
                 try:
                     req = urllib.request.Request(
                         b.url + "/generate", data=payload,
@@ -202,7 +232,9 @@ def make_handler(router: Router):
                         self.send_response(r.status)
                         self.send_header("Content-Type", ctype)
                         if not ctype.startswith("text/event-stream"):
-                            body = r.read()
+                            body = r.read()  # non-streaming: first byte
+                            # arrives with the finished generation
+                            router.record_latency(b, time.monotonic() - t0)
                             self.send_header(
                                 "Content-Length", str(len(body))
                             )
@@ -212,8 +244,16 @@ def make_handler(router: Router):
                         else:
                             self.end_headers()
                             started = True
+                            first = True
                             while True:
                                 chunk = r.read(1024)
+                                if first and chunk:
+                                    # streaming: TTFT is the service
+                                    # signal (full latency ~ n tokens)
+                                    router.record_latency(
+                                        b, time.monotonic() - t0
+                                    )
+                                    first = False
                                 if not chunk:
                                     break
                                 self.wfile.write(chunk)

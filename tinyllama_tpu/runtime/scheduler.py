@@ -21,7 +21,15 @@ Design (TPU-first):
     chunk (one host round-trip per C tokens per batch, not per token),
   * finished/empty slots park: they keep decoding into their own cache row
     (overwriting the same garbage position) and their tokens are dropped
-    on the host — no recompile, no shape change, no branch on device.
+    on the host — no recompile, no shape change, no branch on device,
+  * (paged) **bucket downshift**: when occupancy stays low, decode chunks
+    run at the smallest power-of-two batch bucket that holds the active
+    slots instead of the full width — parked rows stop paying attention
+    tiles + sampling. Compaction is paged-native and cheap: the KV never
+    moves (pages are position-independent); only the page-table rows
+    (host), logits rows and pos entries are gathered into the bucket and
+    scattered back after the chunk. At most log2(B) chunk variants ever
+    compile; a patience counter stops shrink/grow thrash.
 """
 
 from __future__ import annotations
@@ -51,6 +59,20 @@ class Request:
     submitted_s: float = 0.0
     first_token_s: float | None = None  # TTFT
     finished_s: float | None = None
+
+
+@jax.jit
+def _gather_rows(logits, pos, idx):
+    """Bucket downshift: pull the active slots' rows into compact
+    [bucket, ...] arrays for a narrow decode chunk."""
+    return jnp.take(logits, idx, axis=0), jnp.take(pos, idx, axis=0)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows(logits, pos, logits_rows, pos_rows, idx):
+    """Bucket downshift: write a narrow chunk's rows back into the
+    full-width state (idx entries are distinct — an in-place scatter)."""
+    return logits.at[idx].set(logits_rows), pos.at[idx].set(pos_rows)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -105,10 +127,25 @@ class ContinuousBatcher:
         paged: bool = False,
         n_pages: int | None = None,
         page_size: int | None = None,
+        downshift: bool | None = None,
+        min_bucket: int = 1,
+        downshift_patience: int = 1,
     ):
         self.engine = engine
         self.gen = gen or GenerationConfig()
         self.B = max_batch or engine.max_batch
+        # bucket downshift (paged, tp=1): default on — compaction there
+        # moves no KV. Monolithic compaction would copy whole cache rows
+        # per chunk; not supported (paged already beats it everywhere).
+        if downshift is None:
+            downshift = paged and engine.tp == 1
+        if downshift and not (paged and engine.tp == 1):
+            raise ValueError("bucket downshift requires paged=True, tp=1")
+        self.downshift = downshift
+        self.min_bucket = max(1, min(min_bucket, self.B))
+        self._patience = max(1, downshift_patience)
+        self._bucket = self.B
+        self._shrink_streak = 0
         self._ids = itertools.count()
         self.queue: list[Request] = []
         self.running: list[Request | None] = [None] * self.B
@@ -316,23 +353,67 @@ class ContinuousBatcher:
                 self.slot_pages[slot].extend(new)
                 self.table_np[slot, have:need] = new
 
+    def _pick_bucket(self, n_active: int) -> int:
+        """Power-of-two chunk batch for this step's occupancy. Upshift is
+        immediate (correctness of a too-small bucket is never at stake —
+        it just wouldn't hold the active slots); downshift waits for
+        `downshift_patience` consecutive shrink votes so one short dip
+        does not recompile/compact back and forth."""
+        target = 1 << max(0, n_active - 1).bit_length()
+        target = min(max(target, self.min_bucket), self.B)
+        if target >= self._bucket:
+            self._bucket = target
+            self._shrink_streak = 0
+        else:
+            self._shrink_streak += 1
+            if self._shrink_streak >= self._patience:
+                self._bucket = target
+                self._shrink_streak = 0
+        return self._bucket
+
     def step(self, stream: Callable[[int, int], None] | None = None) -> None:
         """Decode one chunk for all running slots while admitting pending
         requests behind it; insert the admitted rows for the next chunk."""
         in_flight = None
+        idx = None  # compact-row -> slot map (None = identity, full width)
         C = max(1, self.gen.chunk_size)
+        # clamp the chunk to the largest remaining budget among running
+        # slots (rounded up to a power of two — log2(chunk_size) compile
+        # variants at most): a 384-step chunk against a 128-token tail
+        # would decode 256 garbage positions on every row
+        rem = [
+            r.max_new - len(r.output) for r in self.running if r is not None
+        ]
+        if rem:
+            C = min(C, 1 << (max(max(rem), 1) - 1).bit_length())
         was_running = [r is not None for r in self.running]
         if any(was_running):
             chunk = self.engine._chunk_fn(
                 C, self.gen.greedy, self.gen.top_k, paged=self.paged
             )
+            logits_in, pos_in = self.logits, self.pos
             if self.paged:
                 self._grow_pages(C)
-                cache_in = self.pool.with_table(jnp.asarray(self.table_np))
+                table = self.table_np
+                if self.downshift:
+                    bucket = self._pick_bucket(sum(was_running))
+                    if bucket < self.B:
+                        active = [s for s, w in enumerate(was_running) if w]
+                        parked = [
+                            s for s, w in enumerate(was_running) if not w
+                        ]
+                        idx = np.asarray(
+                            active + parked[: bucket - len(active)], np.int32
+                        )
+                        table = table[idx]
+                        logits_in, pos_in = _gather_rows(
+                            self.logits, self.pos, jnp.asarray(idx)
+                        )
+                cache_in = self.pool.with_table(jnp.asarray(table))
             else:
                 cache_in = self.cache
             in_flight = chunk(
-                self.engine.params, cache_in, self.logits, self.pos,
+                self.engine.params, cache_in, logits_in, pos_in,
                 self.key, jnp.int32(self.gen.eos_token),
                 jnp.float32(self.gen.temperature),
             )
@@ -346,10 +427,16 @@ class ContinuousBatcher:
                 self._insert_admitted(admitted)
             return
 
-        toks, done, self.logits, cache_out, self.pos, self.key = in_flight
+        toks, done, logits_out, cache_out, pos_out, self.key = in_flight
+        if idx is None:
+            self.logits, self.pos = logits_out, pos_out
+        else:
+            self.logits, self.pos = _scatter_rows(
+                self.logits, self.pos, logits_out, pos_out, jnp.asarray(idx)
+            )
         if not self.paged:
             self.cache = cache_out
-        toks_np = np.asarray(toks)  # [B, C] — one transfer
+        toks_np = np.asarray(toks)  # [bucket, C] — one transfer
         now = time.perf_counter()
         if self.paged:
             for slot, was in enumerate(was_running):
@@ -357,10 +444,16 @@ class ContinuousBatcher:
                     self.pos_host[slot] += C
 
         max_ctx = self.engine.max_ctx
-        for slot, req in enumerate(self.running):
+        rows = (
+            enumerate(self.running) if idx is None
+            else ((int(s), self.running[int(s)]) for s in idx)
+        )
+        row_toks = iter(toks_np)
+        for slot, req in rows:
+            t_row = next(row_toks)
             if req is None:
                 continue
-            for t in toks_np[slot]:
+            for t in t_row:
                 t = int(t)
                 if t == self.gen.eos_token:
                     self._finish(slot, req, now)
@@ -385,6 +478,11 @@ class ContinuousBatcher:
         req.finished_s = now
         self.results[req.req_id] = req
         self.running[slot] = None
+        # park the slot at pos 0: its rides (full-width steps, or bucket
+        # padding) write/attend one scratch position instead of paying
+        # fill-pruned attention over the dead request's stale fill — and
+        # pos can never creep past max_ctx on a long-parked slot
+        self.pos = self.pos.at[slot].set(0)
         if self.paged:
             # release pages + reservation; zero the table row so the
             # parked slot keeps writing into the scratch page (0)

@@ -204,6 +204,7 @@ def serve(engine, tokenizer, gen: GenerationConfig, port: int,
     loop = _SchedulerLoop(batcher, tokenizer)
     httpd = ThreadingHTTPServer(("0.0.0.0", port),
                                 make_handler(loop, tokenizer))
+    httpd.batcher = batcher  # for tests / introspection (cf. httpd.router)
     return httpd
 
 
