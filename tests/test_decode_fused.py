@@ -29,7 +29,7 @@ from tinyllama_tpu.runtime.kvcache import init_cache
 CFG = tiny_test_config()
 
 
-@pytest.fixture(scope="module", params=["q4", "q8"])
+@pytest.fixture(scope="module", params=["q4", "q8", "q4g"])
 def qparams(request):
     policy = DtypePolicy(request.param, "f32", "f32")
     dense = llama.init_dense_params(CFG, jax.random.PRNGKey(0))

@@ -13,7 +13,7 @@ from tinyllama_tpu.quant.codec import quantize
 CFG = tiny_test_config(n_embd=256, n_ffn=1024)
 
 
-@pytest.mark.parametrize("kind", ["q4", "q8"])
+@pytest.mark.parametrize("kind", ["q4", "q8", "q4g"])
 @pytest.mark.parametrize("M", [1, 8])
 def test_fused_matches_separate(kind, M):
     key = jax.random.PRNGKey(0)

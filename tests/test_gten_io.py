@@ -9,6 +9,7 @@ quantization consistency with the codec oracles.
 import struct
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -124,6 +125,50 @@ class TestRoundTrip:
         np.testing.assert_array_equal(
             np.asarray(params["layers"]["wqkv"].data),
             np.asarray(direct_wqkv.data),
+        )
+
+    @pytest.mark.parametrize("wdtype", ["q8", "q4", "q4g"])
+    def test_fp16_file_requantizes_to_policy(self, dense_params, tmp_path,
+                                             wdtype):
+        """Load-time requantization: ONE fp16 artifact serves every
+        quantized policy (the reference needs an offline-converted file
+        per dtype, tinyllama_to_gten.py). Result must equal quantizing
+        the f16-rounded dense weights with the codec directly."""
+        p = tmp_path / "m.gten"
+        save_gten_checkpoint(p, CFG, dense_params, "fp16")
+        params, policy = load_gten_checkpoint(
+            p, CFG, DtypePolicy(wdtype, "bf16", "bf16")
+        )
+        assert policy.wdtype == wdtype
+        f16 = jnp.asarray(dense_params["layers"]["wqkv"]).astype(
+            jnp.float16).astype(jnp.float32)
+        direct = codec.quantize(f16, wdtype, layout="kn")
+        np.testing.assert_array_equal(
+            np.asarray(params["layers"]["wqkv"].data),
+            np.asarray(direct.data),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(params["layers"]["wqkv"].scales),
+            np.asarray(direct.scales),
+        )
+
+    def test_q4_file_requantizes_to_q4g(self, dense_params, tmp_path):
+        """The q4g deployment path: the published Q4_0 artifact loads
+        under the q4g policy (dequantize + group-128 requantize, one
+        extra 4-bit rounding)."""
+        p = tmp_path / "m.gten"
+        save_gten_checkpoint(p, CFG, dense_params, "q4")
+        params, policy = load_gten_checkpoint(
+            p, CFG, DtypePolicy("q4g", "bf16", "bf16")
+        )
+        assert policy.wdtype == "q4g"
+        assert params["layers"]["wqkv"].kind == "q4g"
+        w = jnp.asarray(dense_params["layers"]["wqkv"], jnp.float32)
+        via_q4 = codec.dequantize(codec.quantize(w, "q4"), jnp.float32)
+        direct = codec.quantize(via_q4, "q4g", layout="kn")
+        np.testing.assert_array_equal(
+            np.asarray(params["layers"]["wqkv"].data),
+            np.asarray(direct.data),
         )
 
     def test_forward_from_file_equals_in_memory_quant(self, dense_params, tmp_path):

@@ -110,7 +110,7 @@ class TestForward:
 
 
 class TestQuantizedForward:
-    @pytest.mark.parametrize("wdtype", ["q8", "q4"])
+    @pytest.mark.parametrize("wdtype", ["q8", "q4", "q4g"])
     def test_quantized_close_to_dense(self, dense_params, wdtype):
         policy = DtypePolicy(wdtype, "f32", "f32")
         qparams = llama.convert_params(dense_params, policy)

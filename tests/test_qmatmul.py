@@ -24,7 +24,7 @@ def _mk(kind, M, K, N, seed=0):
     return x, codec.quantize(w, kind, layout="kn")
 
 
-@pytest.mark.parametrize("kind", ["q8", "q4"])
+@pytest.mark.parametrize("kind", ["q8", "q4", "q4g"])
 @pytest.mark.parametrize(
     "M,K,N",
     [
@@ -36,6 +36,8 @@ def _mk(kind, M, K, N, seed=0):
     ],
 )
 def test_matches_jnp_dequant_matmul(kind, M, K, N):
+    if kind == "q4g" and K % 128:
+        pytest.skip("q4g requires K % 128 == 0")
     x, qt = _mk(kind, M, K, N)
     ref_f32 = jnp.einsum(
         "mk,kn->mn", x.astype(jnp.float32), codec.dequantize(qt, jnp.float32),

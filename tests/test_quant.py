@@ -152,9 +152,9 @@ class TestQ4:
 class TestStackedLayers:
     """Quantization must support a leading stacked-layers axis (scan layout)."""
 
-    @pytest.mark.parametrize("kind", ["q8", "q4"])
+    @pytest.mark.parametrize("kind", ["q8", "q4", "q4g"])
     def test_leading_axis(self, kind):
-        w = _rand((3, 8, 64), seed=11)
+        w = _rand((3, 8, 64 if kind != "q4g" else 256), seed=11)
         qt = codec.quantize(jnp.asarray(w), kind)
         deq = np.asarray(codec.dequantize(qt))
         assert deq.shape == w.shape
@@ -171,9 +171,11 @@ class TestKNLayout:
     """The K-major ("kn") matmul layout must be a pure re-layout: same
     dequantized values, transposed orientation."""
 
-    @pytest.mark.parametrize("kind", ["q8", "q4"])
+    @pytest.mark.parametrize("kind", ["q8", "q4", "q4g"])
     @pytest.mark.parametrize("shape", [(8, 64), (16, 512), (4, 8, 128)])
     def test_dequant_matches_nk_transposed(self, kind, shape):
+        if kind == "q4g" and shape[-1] % 128:
+            pytest.skip("q4g requires d_in % 128 == 0")
         w = _rand(shape, seed=21)
         nk = codec.quantize(jnp.asarray(w), kind)
         kn = codec.quantize(jnp.asarray(w), kind, layout="kn")
@@ -182,7 +184,7 @@ class TestKNLayout:
         d_kn = np.asarray(codec.dequantize(kn))
         np.testing.assert_array_equal(np.swapaxes(d_nk, -1, -2), d_kn)
 
-    @pytest.mark.parametrize("kind", ["q8", "q4"])
+    @pytest.mark.parametrize("kind", ["q8", "q4", "q4g"])
     def test_to_kn_equals_direct_kn_quantize(self, kind):
         w = _rand((2, 16, 128), seed=22)
         via = codec.to_kn(codec.quantize(jnp.asarray(w), kind))

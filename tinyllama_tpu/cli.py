@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="8-bit quantized model (1.1GB).")
     g.add_argument("-q4", action="store_const", dest="dtype", const="q4",
                    help="4-bit quantized model (0.62GB).")
+    g.add_argument("-q4g", action="store_const", dest="dtype", const="q4g",
+                   help="4-bit group-128 TPU serving format (0.62GB; "
+                        "fastest decode — requantized from the checkpoint "
+                        "at load).")
     g.add_argument("--bf16", action="store_const", dest="dtype", const="bf16",
                    help="bfloat16 weights (TPU-native dense).")
     g.add_argument("--f32", action="store_const", dest="dtype", const="f32",
@@ -174,7 +178,9 @@ def main(argv=None) -> int:
         if ckpt is None:
             from tinyllama_tpu.io.download import download_model
 
-            model_id = {"f16": "fp16", "q8": "q8", "q4": "q4"}.get(args.dtype)
+            # q4g is requantized at load from the published Q4_0 artifact
+            model_id = {"f16": "fp16", "q8": "q8", "q4": "q4",
+                        "q4g": "q4"}.get(args.dtype)
             if model_id is None:
                 raise SystemExit(
                     f"--{args.dtype} has no prebuilt checkpoint; pass --ckpt"

@@ -116,8 +116,10 @@ def tiny_test_config(**overrides) -> ModelConfig:
 # --- Dtype policy ------------------------------------------------------------
 
 #: Supported weight formats. "q8"/"q4" are block-32 weight-only quantization
-#: (gten/quants.h:17-31 equivalents); f32/bf16/f16 are dense.
-WEIGHT_DTYPES = ("f32", "bf16", "f16", "q8", "q4")
+#: (gten/quants.h:17-31 equivalents); "q4g" is the TPU-native group-128
+#: 4-bit serving format (quant/codec.py quantize_q4g — full-depth MXU
+#: dots, no reference counterpart); f32/bf16/f16 are dense.
+WEIGHT_DTYPES = ("f32", "bf16", "f16", "q8", "q4", "q4g")
 #: Supported activation compute dtypes.
 ACT_DTYPES = ("f32", "bf16", "f16")
 #: Supported KV-cache storage dtypes ("i8" = per-(pos,head) scaled int8).
@@ -150,7 +152,7 @@ class DtypePolicy:
 
     @property
     def is_quantized(self) -> bool:
-        return self.wdtype in ("q8", "q4")
+        return self.wdtype in ("q8", "q4", "q4g")
 
 
 #: Named dtype policies matching the reference CLI flags -f16/-q8/-q4
@@ -173,6 +175,13 @@ POLICIES: dict[str, DtypePolicy] = {
     # for reference-faithful numerics and larger-model experiments.
     "q8a8": DtypePolicy("q8", "bf16", "bf16", aq8=True),
     "q4a8": DtypePolicy("q4", "bf16", "bf16", aq8=True),
+    # TPU-native group-128 4-bit serving format: same packed bytes per
+    # weight as Q4_0 but one scale per 128 elements, so the decode
+    # kernel runs full-depth-128 MXU dots (quant/codec.py quantize_q4g).
+    # A deployment format, not a parity format — quality deltas vs q4
+    # are measured by tools/eval_ppl.py.
+    "q4g": DtypePolicy("q4g", "bf16", "bf16"),
+    "q4g-kvi8": DtypePolicy("q4g", "bf16", "i8"),
 }
 
 

@@ -217,14 +217,23 @@ def _load_gten_device(
     file_dtype, recs = gten.read_gten_records(path, cfg)
     if policy is None:
         policy = POLICIES[_FILE_TO_POLICY[file_dtype]]
-    if (file_dtype == "q8") != (policy.wdtype == "q8") or (
-        (file_dtype == "q4") != (policy.wdtype == "q4")
-    ):
-        if file_dtype != "fp16" or policy.is_quantized:
-            raise ValueError(
-                f"file dtype {file_dtype} incompatible with policy "
-                f"{policy.wdtype}"
-            )
+    canon = {"fp16": None, "q8": "q8", "q4": "q4"}[file_dtype]
+    #: load-time requantization: an fp16 file serves ANY policy (the
+    #: reference needs one offline-converted file per dtype,
+    #: tinyllama_to_gten.py; here dequant+requant are jnp ops in HBM),
+    #: and q8/q4 files serve the "q4g" deployment format (the published
+    #: Q4_0 artifact is the natural source — one extra 4-bit rounding).
+    requant = policy.is_quantized and policy.wdtype != canon
+    if requant and not (file_dtype == "fp16" or policy.wdtype == "q4g"):
+        raise ValueError(
+            f"file dtype {file_dtype} incompatible with policy "
+            f"{policy.wdtype}"
+        )
+    if canon is not None and not policy.is_quantized:
+        raise ValueError(
+            f"file dtype {file_dtype} incompatible with policy "
+            f"{policy.wdtype}"
+        )
     quant = file_dtype in ("q8", "q4")
     wdt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
            "f16": jnp.float16}.get(policy.wdtype)
@@ -234,6 +243,20 @@ def _load_gten_device(
         if dt == "fp16":
             return _dev_fp16(mv, shape)
         return _dev_q_blocks(mv, shape, dt)
+
+    def densify(decoded) -> jnp.ndarray:
+        """Any decoded record -> dense f32 (exactly the file's values)."""
+        if not isinstance(decoded, tuple):
+            return decoded.astype(jnp.float32)
+        vals, deltas = decoded
+        from tinyllama_tpu.quant.codec import BLOCK_SIZE, Q4_OFFSET
+
+        v = vals.astype(jnp.float32)
+        if file_dtype == "q4":
+            v = v - Q4_OFFSET
+        return v * jnp.repeat(
+            deltas.astype(jnp.float32), BLOCK_SIZE, axis=-1
+        )
 
     def qt_kn(vals, deltas) -> QTensor:
         scales = _kernel_scales(
@@ -257,6 +280,8 @@ def _load_gten_device(
         "attn_norm": ("attn_norm",),
         "ffn_norm": ("ffn_norm",),
     }
+    from tinyllama_tpu.quant.codec import quantize
+
     layers = {}
     for name, parts in merges.items():
         per = [[decode(f"{p}.{i}") for p in parts]
@@ -265,6 +290,12 @@ def _load_gten_device(
             layers[name] = jnp.stack(
                 [p[0].astype(jnp.float32) for p in per]
             )
+        elif requant:
+            dense = jnp.stack(
+                [jnp.concatenate([densify(d) for d in ps], axis=0)
+                 for ps in per]
+            )
+            layers[name] = quantize(dense, policy.wdtype, layout="kn")
         elif quant:
             vals = jnp.stack(
                 [jnp.concatenate([d for d, _ in ps], axis=0)
@@ -282,6 +313,10 @@ def _load_gten_device(
 
     def top(key, kn: bool):
         d = decode(key)
+        if requant:
+            return quantize(
+                densify(d), policy.wdtype, layout="kn" if kn else "nk"
+            )
         if quant:
             return qt_kn(*d) if kn else qt_nk(*d)
         return d.astype(wdt)

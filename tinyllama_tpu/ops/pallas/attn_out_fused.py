@@ -55,7 +55,50 @@ def _wo_tile_dot(attn_bf, wd, s, kind: str, compute_dtype, k0: int):
 
     acc = jnp.zeros((1, bn), jnp.float32)
     dims = (((1,), (0,)), ((), ()))
-    if kind == "q8":
+    if kind == "q4g":
+        # group-128-scale format (codec.quantize_q4g, pack group 256):
+        # one scale per 128-row nibble plane (kn scales duplicated 4x;
+        # row 4b = block b's). The x operand here is the row-structured
+        # [H, d] attention scratch, so each plane's dot splits into
+        # d-wide row-aligned sub-dots (depth 64 at d=64 — still 2x
+        # deeper than q4's depth-32 blockdots).
+        from tinyllama_tpu.quant.codec import BLOCK_SIZE as _BS
+
+        pg = 256 if (wd.shape[0] * 2) % 256 == 0 else 128
+        gb = pg // 2
+        step = min(gb, d)
+        m_hi = jnp.asarray(-16, jnp.int8)
+        m_lo = jnp.asarray(0x0F, jnp.int8)
+        s16 = s * (1.0 / 16.0)
+        for g in range(wd.shape[0] // gb):
+            rows = wd[g * gb:(g + 1) * gb]
+            hi16 = (rows & m_hi).astype(compute_dtype)  # 16*(v_hi-8)
+            lo = (rows & m_lo).astype(compute_dtype)
+            ph = jnp.zeros((1, bn), jnp.float32)
+            plo = jnp.zeros((1, bn), jnp.float32)
+            sumh = jnp.zeros((1, 1), jnp.float32)
+            suml = jnp.zeros((1, 1), jnp.float32)
+            for c in range(0, gb, step):
+                xh = xrow(k0 + g * pg + c, step)
+                xl = xrow(k0 + g * pg + gb + c, step)
+                sumh += jnp.sum(xh.astype(jnp.float32), axis=1,
+                                keepdims=True)
+                suml += jnp.sum(xl.astype(jnp.float32), axis=1,
+                                keepdims=True)
+                ph += jax.lax.dot_general(
+                    xh, hi16[c:c + step], dims,
+                    preferred_element_type=jnp.float32,
+                )
+                plo += jax.lax.dot_general(
+                    xl, lo[c:c + step], dims,
+                    preferred_element_type=jnp.float32,
+                )
+            sh = (pg // _BS) * g
+            sl = sh + 4 if pg == 256 else sh
+            acc += ph * s16[sh].reshape(1, bn)
+            acc += sumh * s[sh].reshape(1, bn)
+            acc += (plo - 7.0 * suml) * s[sl].reshape(1, bn)
+    elif kind == "q8":
         nblk = wd.shape[0] // BLOCK_SIZE
         for b in range(nblk):
             wb = wd[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE]
@@ -111,7 +154,7 @@ def _run_attn_out(
     n_s = S // bs
     bn = _pick_bn(N)
     bk = _pick_bk(D, bn, kind)
-    bk_rows = bk // 2 if kind == "q4" else bk
+    bk_rows = bk // 2 if kind in ("q4", "q4g") else bk
     n_k = D // bk
     n_n = pl.cdiv(N, bn)
     grid = (n_n, n_s + n_k)

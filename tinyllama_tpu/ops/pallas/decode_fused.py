@@ -73,7 +73,7 @@ def _norm_qkv(x, nw, data, scales, li, kind, eps, inside, bm, interpret):
         scales = jax.lax.bitcast_convert_type(scales, jnp.int16)
     bn = _pick_bn(N)
     bk = _pick_bk(D, bn, kind)
-    denom = 2 if kind == "q4" else 1
+    denom = 2 if kind in ("q4", "q4g") else 1
     grid = (pl.cdiv(N, bn), D // bk)
     kernel = functools.partial(
         _norm_qkv_kernel, kind=kind, compute_dtype=x.dtype, bk=bk,
@@ -145,7 +145,7 @@ def _out_res(x, res, data, scales, li, kind, bm, interpret):
         scales = jax.lax.bitcast_convert_type(scales, jnp.int16)
     bn = _pick_bn(N)
     bk = _pick_bk(K, bn, kind)
-    denom = 2 if kind == "q4" else 1
+    denom = 2 if kind in ("q4", "q4g") else 1
     grid = (pl.cdiv(N, bn), K // bk)
     kernel = functools.partial(
         _out_res_kernel, kind=kind, compute_dtype=x.dtype, bk=bk,

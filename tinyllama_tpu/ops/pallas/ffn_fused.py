@@ -64,7 +64,36 @@ def _block_dot_q(x, w_raw, s, kind: str, compute_dtype):
         acc = a if acc is None else acc + a
 
     dims = (((1,), (0,)), ((), ()))
-    if kind == "q8":
+    if kind == "q4g":
+        # group-128-scale format (codec.quantize_q4g, pack group 256):
+        # each nibble plane holds 128 consecutive K-rows under one
+        # scale — one full-depth-128 integer dot per plane (see
+        # ops/pallas/qmatmul.py _qmm_kernel_smallm). kn scales arrive
+        # duplicated 4x at [bk//32, bn] (row 4b = block b's scale).
+        pg2 = 256 if (w_raw.shape[0] * 2) % 256 == 0 else 128
+        gb = pg2 // 2
+        m_hi = jnp.asarray(-16, jnp.int8)
+        m_lo = jnp.asarray(0x0F, jnp.int8)
+        s16 = s * (1.0 / 16.0)
+        for g in range(w_raw.shape[0] // gb):
+            rows = w_raw[g * gb:(g + 1) * gb]
+            hi16 = (rows & m_hi).astype(compute_dtype)  # 16*(v_hi-8)
+            lo = (rows & m_lo).astype(compute_dtype)
+            xh = x[:, g * pg2: g * pg2 + gb]
+            xl = x[:, g * pg2 + gb:(g + 1) * pg2]
+            sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+            suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+            ph = jax.lax.dot_general(
+                xh, hi16, dims, preferred_element_type=jnp.float32,
+            )
+            plo = jax.lax.dot_general(
+                xl, lo, dims, preferred_element_type=jnp.float32,
+            )
+            sh = (pg2 // BLOCK_SIZE) * g
+            sl = sh + 4 if pg2 == 256 else sh
+            add(ph * s16[sh].reshape(1, bn) + sumh * s[sh].reshape(1, bn))
+            add((plo - 7.0 * suml) * s[sl].reshape(1, bn))
+    elif kind == "q8":
         nblk = w_raw.shape[0] // BLOCK_SIZE
         for b in range(nblk):
             wb = w_raw[b * BLOCK_SIZE:(b + 1) * BLOCK_SIZE]
@@ -217,7 +246,7 @@ def _ffn_fused(
     n_kd = F // bk_d
     N_GU = n_i * 2 * n_k
     n_steps = N_GU + n_kd
-    denom = 2 if kind == "q4" else 1
+    denom = 2 if kind in ("q4", "q4g") else 1
 
     def gu_map(t, li):
         tt = jnp.minimum(t, N_GU - 1)
@@ -295,7 +324,7 @@ def _ffn_fused_normed(
     n_kd = F // bk_d
     N_GU = n_i * 2 * n_k
     n_steps = N_GU + n_kd
-    denom = 2 if kind == "q4" else 1
+    denom = 2 if kind in ("q4", "q4g") else 1
 
     def gu_map(t, li):
         tt = jnp.minimum(t, N_GU - 1)

@@ -49,7 +49,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tinyllama_tpu.quant.codec import BLOCK_SIZE, KN_GROUP, Q4_OFFSET, QTensor
+from tinyllama_tpu.quant.codec import (
+    BLOCK_SIZE, KN_GROUP, Q4G_BLOCK, Q4_OFFSET, QTensor,
+)
 
 #: decode-variant M-tile bound: at bm <= _SMALL_M post-dot scaling is
 #: cheaper than weight dequantization.
@@ -122,6 +124,41 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
         return pb.astype(jnp.float32) * sx if aq8 else pb
 
     idot = (((1,), (0,)), ((), ()))
+
+    if kind == "q4g":
+        # group-128-scale format (codec.quantize_q4g, pack group 256):
+        # each nibble plane holds 128 consecutive K-rows under ONE
+        # scale, so every plane is a single depth-128 integer dot at
+        # full MXU depth utilization (vs 4 depth-32 passes per 128 rows
+        # for q4 — kbench: blockdot overhead over the stream floor
+        # halves). Offsets fold into the x window sums as usual:
+        #   hi: sum x*(v-7)*s == s/16 * (x.hi16) + s*sum(x)
+        #   lo: sum x*(v-7)*s == s * (x.lo) - 7*s*sum(x)
+        assert not aq8, "q4g has no aq8 variant (aq8 is a measured dead end)"
+        p = w_ref[:]  # int8 [BK//2, BN]
+        pg = 256 if (p.shape[0] * 2) % 256 == 0 else 128
+        gb = pg // 2  # byte rows per pack group == rows per plane
+        m_hi = jnp.asarray(-16, jnp.int8)  # 0xF0 as signed int8
+        m_lo = jnp.asarray(0x0F, jnp.int8)
+        s16 = s * (1.0 / 16.0)
+        for g in range(p.shape[0] // gb):
+            rows = p[g * gb:(g + 1) * gb]
+            hi16 = (rows & m_hi).astype(compute_dtype)  # 16*(v_hi - 8)
+            lo = (rows & m_lo).astype(compute_dtype)    # v_lo
+            xh = x[:, g * pg: g * pg + gb]
+            xl = x[:, g * pg + gb:(g + 1) * pg]
+            sumh = jnp.sum(xh.astype(jnp.float32), axis=1, keepdims=True)
+            suml = jnp.sum(xl.astype(jnp.float32), axis=1, keepdims=True)
+            ph = _dot(xh, hi16, ((1,), (0,)))
+            plo = _dot(xl, lo, ((1,), (0,)))
+            # duplicated [BK//32, BN] scales: row 4b is block b's scale;
+            # group g spans blocks 2g/2g+1 (pg=256) or shares block g
+            sh = (pg // BLOCK_SIZE) * g
+            sl = sh + 4 if pg == 256 else sh
+            acc += ph * s16[sh].reshape(1, bn) + sumh * s[sh].reshape(1, bn)
+            acc += (plo - 7.0 * suml) * s[sl].reshape(1, bn)
+        o_ref[:] += acc
+        return
 
     if kind == "q8":
         w = w_ref[:]  # [BK, BN] i8
@@ -203,7 +240,29 @@ def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
 
     w = w_ref[:]
     bn = w.shape[-1]
-    if kind == "q8":
+    if kind == "q4g":
+        bk = w.shape[0] * 2
+        pg = 256 if bk % 256 == 0 else 128
+        gb = pg // 2
+        # one scale per 128-row block, stored duplicated at [BK//32, BN]
+        # (row 4b is block b's scale); pack group g's hi plane is block
+        # 2g, its lo plane block 2g+1 (pg=256) or both block g (pg=128)
+        sg = _load_scales(s_ref).reshape(bk // pg, pg // BLOCK_SIZE, 1, bn)
+        s_hi = sg[:, 0]  # [BK//pg, 1, BN]
+        s_lo = sg[:, 4] if pg == 256 else sg[:, 0]
+        g8 = w.reshape(bk // pg, gb, bn)
+        hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
+            s_hi * (1.0 / 16.0)
+        ) + s_hi
+        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
+            s_lo
+        ) - 7.0 * s_lo
+        w_deq = (
+            jnp.concatenate([hi, lo], axis=1)
+            .reshape(bk, bn)
+            .astype(compute_dtype)
+        )
+    elif kind == "q8":
         bk = w.shape[0]
         # [BK//32, BN] scales broadcast over each 32-row block (sublanes)
         s3 = _load_scales(s_ref).reshape(bk // BLOCK_SIZE, 1, bn)
@@ -270,15 +329,16 @@ def _pick_bk(K: int, bn: int, kind: str) -> int:
     Legal tiles are multiples of 256 (x-tile lanes need a 128 quantum and
     the [bk//32, bn] scales tile an 8-sublane quantum) or the whole K
     (full-array block dims are always legal)."""
-    denom = 2 if kind == "q4" else 1
+    denom = 2 if kind in ("q4", "q4g") else 1
+    group = Q4G_BLOCK if kind == "q4g" else KN_GROUP
     best = 0
     for bk in range(256, K + 1, 256):
         if K % bk == 0 and (bk // denom) * bn <= _DATA_TILE_BYTES:
             best = bk
     if not best:
-        if K % KN_GROUP == 0 and (K // denom) * bn <= _DATA_TILE_BYTES:
+        if K % group == 0 and (K // denom) * bn <= _DATA_TILE_BYTES:
             return K  # small K: single full-dim tile
-        raise ValueError(f"K={K} not tileable (needs K % {KN_GROUP} == 0)")
+        raise ValueError(f"K={K} not tileable (needs K % {group} == 0)")
     return best
 
 
@@ -305,7 +365,7 @@ def _qmatmul_2d(
         scales = jax.lax.bitcast_convert_type(scales, jnp.int16)
     bn = bn or _pick_bn(N)
     bk = _pick_bk(K, bn, kind)
-    bk_rows = bk // 2 if kind == "q4" else bk
+    bk_rows = bk // 2 if kind in ("q4", "q4g") else bk
     small_m = bm <= _SMALL_M
 
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)

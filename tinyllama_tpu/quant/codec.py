@@ -43,6 +43,35 @@ Q8_MAX = 127.0  # tinyllama_to_gten.py:38
 Q4_MAX = 7.0  # tinyllama_to_gten.py:69
 Q4_OFFSET = 7  # tinyllama_to_gten.py:79
 
+#: Scale-block size of the TPU-native "q4g" serving format. Q4_0's
+#: per-32 scales force depth-32 MXU dots in the decode kernel (each
+#: pass at 25% depth utilization — the measured q4 floor, PERF.md);
+#: one scale per 128 K-rows makes each nibble plane of a pack group a
+#: single depth-128 dot at full MXU depth (kbench: the blockdot's
+#: compute overhead over the pure-stream floor halves). No reference
+#: counterpart — this is a deployment format (converted offline from
+#: fp16/Q4_0 checkpoints), quality cost quantified in tools/eval_ppl.py.
+Q4G_BLOCK = 128
+
+
+def block_size(kind: str) -> int:
+    """Scale-block length along K for a quant kind."""
+    return Q4G_BLOCK if kind == "q4g" else BLOCK_SIZE
+
+
+def q4g_pack_group(d_in: int) -> int:
+    """q4g planar packing period along K: 256 where possible, so each
+    nibble plane (group//2 = 128 rows) spans exactly one scale block
+    and feeds one full-depth MXU dot; 128 for small test dims (both
+    planes then share block g's scale). Every kernel K-tile is either
+    a multiple of 256 or the whole K (qmatmul._pick_bk), so tiles
+    re-derive the same group from their own row count."""
+    if d_in % 256 == 0:
+        return 256
+    if d_in % 128 == 0:
+        return 128
+    raise ValueError(f"q4g requires d_in % 128 == 0, got {d_in}")
+
 #: Runtime storage dtype for the per-block scales. gten stores fp16
 #: deltas, so float16 holds the exact values at half the HBM stream
 #: bytes of f32 (scales are 20% of a q4 weight stream); kernels upcast
@@ -112,9 +141,11 @@ class QTensor:
     def shape(self) -> tuple[int, ...]:
         """Logical [..., d_out, d_in] regardless of layout."""
         if self.layout == "kn":
+            # kn scales are always [K//32, N] (q4g stores each group
+            # scale duplicated 4x so every tile/shard path matches q4)
             d_in = self.scales.shape[-2] * BLOCK_SIZE
             return (*self.data.shape[:-2], self.data.shape[-1], d_in)
-        d_in = self.scales.shape[-1] * BLOCK_SIZE
+        d_in = self.scales.shape[-1] * block_size(self.kind)
         return (*self.data.shape[:-1], d_in)
 
 
@@ -191,11 +222,11 @@ def quantize_q4(w: jax.Array, layout: str = "nk") -> QTensor:
                    kind="q4")
 
 
-def pack_q4_nk(vals: jax.Array) -> jax.Array:
+def pack_q4_nk(vals: jax.Array, group: int | None = None) -> jax.Array:
     """Unpacked offset-7 uint8 values [.., d_in] -> "nk" group-planar
     packed int8 [.., d_in//2] (jnp; numpy twin: tpu_q4_pack)."""
     d_in = vals.shape[-1]
-    G = q4_group_size(d_in)
+    G = group or q4_group_size(d_in)
     groups = vals.astype(jnp.uint8).reshape(*vals.shape[:-1], d_in // G, G)
     hi = groups[..., : G // 2]
     lo = groups[..., G // 2 :]
@@ -203,15 +234,53 @@ def pack_q4_nk(vals: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
 
+def quantize_q4g(w: jax.Array, layout: str = "nk") -> QTensor:
+    """TPU-native "q4g": 4-bit offset-7 values with ONE fp16 scale per
+    Q4G_BLOCK=128 elements (GPTQ/AWQ-style group size). Q4_0's per-32
+    scales force depth-32 integer dots in the decode kernel (4 MXU
+    passes per 128 K-rows, each at 25% depth utilization — the measured
+    q4 floor, PERF.md); one scale per 128 lets both nibble planes of a
+    kn packing group feed a single depth-128 dot at full MXU depth.
+
+    The "nk" layout stores the true [.., N, K//128] scale plane; "kn"
+    stores each group scale duplicated 4x into the same [K//32, N]
+    plane q4 uses, so tiles, shardings, and loaders are layout-identical
+    to q4 (the duplicated rows cost 5.6% model bytes over the ideal —
+    accepted for zero new-layout risk)."""
+    d_in = w.shape[-1]
+    pg = q4g_pack_group(d_in)
+    w = w.astype(jnp.float32)
+    blocks = w.reshape(*w.shape[:-1], -1, Q4G_BLOCK)
+    deltas = (jnp.max(jnp.abs(blocks), axis=-1) / Q4_MAX).astype(jnp.float32)
+    deltas_f16 = deltas.astype(jnp.float16)
+    inv = _safe_inv(deltas)
+    q = jnp.round(blocks * inv[..., None]) + Q4_OFFSET  # [0, 14]
+    q = jnp.clip(q, 0, 14).astype(jnp.uint8).reshape(w.shape)
+    scales = deltas_f16.astype(SCALE_DTYPE)
+    if layout == "kn":
+        dup = jnp.repeat(scales, Q4G_BLOCK // BLOCK_SIZE, axis=-1)
+        return QTensor(
+            data=_pack_q4_kn(q, group=pg),
+            scales=_kernel_scales(jnp.swapaxes(dup, -1, -2)),
+            kind="q4g",
+            layout="kn",
+        )
+    return QTensor(
+        data=pack_q4_nk(q, group=pg), scales=scales, kind="q4g"
+    )
+
+
 def quantize(w: jax.Array, kind: str, layout: str = "nk") -> QTensor:
     if kind == "q8":
         return quantize_q8(w, layout)
     if kind == "q4":
         return quantize_q4(w, layout)
+    if kind == "q4g":
+        return quantize_q4g(w, layout)
     raise ValueError(f"unknown quant kind: {kind}")
 
 
-def _pack_q4_kn(vals: jax.Array) -> jax.Array:
+def _pack_q4_kn(vals: jax.Array, group: int = KN_GROUP) -> jax.Array:
     """Unpacked offset-7 uint8 values [.., N, K] -> "kn" packed int8
     [.., K//2, N] (KN_GROUP sublane groups: packed row g*32+j = K-row
     g*64+j high nibble | K-row g*64+32+j low nibble).
@@ -221,28 +290,32 @@ def _pack_q4_kn(vals: jax.Array) -> jax.Array:
     int8 and gets exactly ``16 * (v_hi - 8)`` — linear in the nibble, so
     unpacking is one AND per plane with no i32 cast, no shift, and the
     x16/offset algebra folds into the post-dot block scales
-    (ops/pallas/qmatmul.py). The low nibble is untouched by the XOR."""
+    (ops/pallas/qmatmul.py). The low nibble is untouched by the XOR.
+
+    ``group`` is the planar packing period along K: KN_GROUP=64 for
+    "q4" (2 scale blocks per group), Q4G_BLOCK=128 for "q4g" (the whole
+    group shares one scale, enabling single depth-128 dots)."""
     K = vals.shape[-1]
-    assert K % KN_GROUP == 0, vals.shape
+    assert K % group == 0, (vals.shape, group)
     vT = jnp.swapaxes(vals.astype(jnp.uint8), -1, -2)  # [.., K, N]
     N = vT.shape[-1]
-    g = vT.reshape(*vT.shape[:-2], K // KN_GROUP, KN_GROUP, N)
-    hi = g[..., : KN_GROUP // 2, :]
-    lo = g[..., KN_GROUP // 2 :, :]
+    g = vT.reshape(*vT.shape[:-2], K // group, group, N)
+    hi = g[..., : group // 2, :]
+    lo = g[..., group // 2 :, :]
     packed = (((hi << 4) | (lo & 0x0F)) ^ 0x80).reshape(
         *vT.shape[:-2], K // 2, N
     )
     return jax.lax.bitcast_convert_type(packed, jnp.int8)
 
 
-def unpack_q4_kn(data: jax.Array) -> jax.Array:
+def unpack_q4_kn(data: jax.Array, group: int = KN_GROUP) -> jax.Array:
     """"kn" packed int8 [.., K//2, N] -> int8-valued [.., K, N] still
     carrying the +7 offset (inverse of _pack_q4_kn, incl. the biased-hi
     XOR 0x80)."""
     K = data.shape[-2] * 2
     N = data.shape[-1]
     data = jnp.bitwise_xor(data, jnp.int8(-128))  # undo the hi-nibble bias
-    grouped = data.reshape(*data.shape[:-2], K // KN_GROUP, KN_GROUP // 2, N)
+    grouped = data.reshape(*data.shape[:-2], K // group, group // 2, N)
     hi = ((grouped >> 4) & 0x0F).astype(jnp.int8)
     lo = (grouped & 0x0F).astype(jnp.int8)
     return jnp.concatenate([hi, lo], axis=-2).reshape(*data.shape[:-2], K, N)
@@ -259,6 +332,15 @@ def to_kn(qt: QTensor) -> QTensor:
             data=jnp.swapaxes(qt.data, -1, -2), scales=scales,
             kind="q8", layout="kn",
         )
+    if qt.kind == "q4g":
+        pg = q4g_pack_group(qt.data.shape[-1] * 2)
+        vals = jax.lax.bitcast_convert_type(
+            unpack_q4(qt.data, group=pg), jnp.uint8)
+        dup = _kernel_scales(jnp.repeat(
+            jnp.swapaxes(qt.scales, -1, -2), Q4G_BLOCK // BLOCK_SIZE,
+            axis=-2))
+        return QTensor(data=_pack_q4_kn(vals, group=pg),
+                       scales=dup, kind="q4g", layout="kn")
     vals = jax.lax.bitcast_convert_type(unpack_q4(qt.data), jnp.uint8)
     return QTensor(data=_pack_q4_kn(vals), scales=scales, kind="q4", layout="kn")
 
@@ -268,12 +350,12 @@ def to_kn(qt: QTensor) -> QTensor:
 # -----------------------------------------------------------------------------
 
 
-def unpack_q4(data: jax.Array) -> jax.Array:
+def unpack_q4(data: jax.Array, group: int | None = None) -> jax.Array:
     """int8 packed [..., d_in//2] -> int8-valued [..., d_in] still carrying
     the +7 offset (inverse of the group-planar packing). Arithmetic shift +
     mask works for both nibbles regardless of the sign bit."""
     d_in = data.shape[-1] * 2
-    G = q4_group_size(d_in)
+    G = group or q4_group_size(d_in)
     grouped = data.reshape(*data.shape[:-1], d_in // G, G // 2)
     hi = ((grouped >> 4) & 0x0F).astype(jnp.int8)
     lo = (grouped & 0x0F).astype(jnp.int8)
@@ -291,18 +373,28 @@ def dequantize(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     if qt.layout == "kn":
         if qt.kind == "q8":
             vals = qt.data.astype(jnp.float32)
+        elif qt.kind == "q4g":
+            vals = unpack_q4_kn(
+                qt.data, group=q4g_pack_group(qt.data.shape[-2] * 2)
+            ).astype(jnp.float32) - Q4_OFFSET
         else:
             vals = unpack_q4_kn(qt.data).astype(jnp.float32) - Q4_OFFSET
+        # kn scales are [K//32, N] for every kind (q4g rows duplicated)
         sexp = jnp.repeat(_logical_scales(qt.scales), BLOCK_SIZE, axis=-2)
         return (vals * sexp).astype(dtype)
     if qt.kind == "q8":
         vals = qt.data.astype(jnp.float32)
     elif qt.kind == "q4":
         vals = unpack_q4(qt.data).astype(jnp.float32) - Q4_OFFSET
+    elif qt.kind == "q4g":
+        vals = unpack_q4(
+            qt.data, group=q4g_pack_group(qt.data.shape[-1] * 2)
+        ).astype(jnp.float32) - Q4_OFFSET
     else:
         raise ValueError(qt.kind)
-    return (vals * expand_scales(_logical_scales(qt.scales))).astype(
-        dtype)
+    return (vals * jnp.repeat(
+        _logical_scales(qt.scales), block_size(qt.kind), axis=-1,
+    )).astype(dtype)
 
 
 # -----------------------------------------------------------------------------

@@ -708,6 +708,145 @@ def bench_sweep(args) -> int:
             o_ref[:] += acc
             return
 
+        if variant == "g128":
+            # STRUCTURAL cost of a group-128 q4 format (wrong values —
+            # timing reuses the production packing): per 128 K-rows the
+            # hi16/lo planes concat into one [128, bn] int8 matrix and
+            # the MXU runs ONE depth-128 dot at full depth utilization
+            # (vs 4 depth-32 dots = 4x the passes today), with one scale
+            # FMA per group. The x-side 1/16 prescale of the hi window
+            # and the offset sums are [bm, .] ops — noise.
+            p = w_ref[:]  # int8, [bk//2, bn]
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            m_hi = jnp.asarray(-16, jnp.int8)
+            m_lo = jnp.asarray(0x0F, jnp.int8)
+            G = 128
+            gb = G // 2  # byte rows per group
+            for g in range(p.shape[0] // gb):
+                rows = p[g * gb:(g + 1) * gb]
+                hi16 = rows & m_hi        # [64, bn] == 16*(vhi-8)
+                lo = rows & m_lo          # [64, bn] == vlo
+                wg = jnp.concatenate([hi16, lo], axis=0).astype(x.dtype)
+                xw = x[:, g * G:(g + 1) * G]
+                xh = xw[:, :gb] * jnp.asarray(1.0 / 16.0, x.dtype)
+                xg = jnp.concatenate([xh, xw[:, gb:]], axis=1)
+                sumh = jnp.sum(
+                    xw[:, :gb].astype(jnp.float32), axis=1, keepdims=True
+                )
+                suml = jnp.sum(
+                    xw[:, gb:].astype(jnp.float32), axis=1, keepdims=True
+                )
+                pg = jax.lax.dot_general(
+                    xg, wg, dims, preferred_element_type=jnp.float32)
+                acc += (pg + sumh - 7.0 * suml) * s[2 * g].reshape(1, bn)
+            o_ref[:] += acc
+            return
+
+        if variant == "g128d2":
+            # group-128 format, NO concat: the hi16/lo planes stay
+            # separate [64, bn] matrices feeding two depth-64 dots per
+            # group (2x deeper than q4's depth-32, no materialized
+            # combined tile — the concat made "g128" slower than the
+            # production body).
+            p = w_ref[:]
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            m_hi = jnp.asarray(-16, jnp.int8)
+            m_lo = jnp.asarray(0x0F, jnp.int8)
+            G = 128
+            gb = G // 2
+            s16 = s * (1.0 / 16.0)
+            for g in range(p.shape[0] // gb):
+                rows = p[g * gb:(g + 1) * gb]
+                hi16 = (rows & m_hi).astype(x.dtype)
+                lo = (rows & m_lo).astype(x.dtype)
+                xh = x[:, g * G: g * G + gb]
+                xl = x[:, g * G + gb:(g + 1) * G]
+                sumh = jnp.sum(xh.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                suml = jnp.sum(xl.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                ph = jax.lax.dot_general(
+                    xh, hi16, dims, preferred_element_type=jnp.float32)
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32)
+                acc += ph * s16[2 * g].reshape(1, bn)
+                acc += (plo + sumh - 7.0 * suml) * s[2 * g].reshape(1, bn)
+            o_ref[:] += acc
+            return
+
+        if variant == "g256":
+            # pack group 256 / scale group 128: the hi plane holds
+            # K-rows [0,128) and the lo plane [128,256) of each group,
+            # so EACH plane is one full depth-128 dot with one scale —
+            # no concat, half g128d2's dot passes.
+            p = w_ref[:]
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            m_hi = jnp.asarray(-16, jnp.int8)
+            m_lo = jnp.asarray(0x0F, jnp.int8)
+            G = 256
+            gb = G // 2
+            s16 = s * (1.0 / 16.0)
+            for g in range(p.shape[0] // gb):
+                rows = p[g * gb:(g + 1) * gb]
+                hi16 = (rows & m_hi).astype(x.dtype)
+                lo = (rows & m_lo).astype(x.dtype)
+                xh = x[:, g * G: g * G + gb]
+                xl = x[:, g * G + gb:(g + 1) * G]
+                sumh = jnp.sum(xh.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                suml = jnp.sum(xl.astype(jnp.float32), axis=1,
+                               keepdims=True)
+                ph = jax.lax.dot_general(
+                    xh, hi16, dims, preferred_element_type=jnp.float32)
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32)
+                acc += (ph * (1.0 / 16.0) + sumh) * s[4 * g].reshape(1, bn)
+                acc += (plo - 7.0 * suml) * s[4 * g + 2].reshape(1, bn)
+            o_ref[:] += acc
+            return
+
+        if variant == "dqbias":
+            # production bigm body (AND-only unpack, FMA-folded scales,
+            # one depth-bk bf16 dot) evaluated at small m: is tile
+            # dequant still 3x off now that the unpack is 2 int8 ANDs?
+            p = w_ref[:]
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            bk = p.shape[0] * 2
+            half = KN_GROUP // 2
+            s2 = s.reshape(bk // KN_GROUP, 2, 1, bn)
+            s_hi = s2[:, 0]
+            s_lo = s2[:, 1]
+            g8 = p.reshape(bk // KN_GROUP, half, bn)
+            hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
+                s_hi * (1.0 / 16.0)
+            ) + s_hi
+            lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
+                s_lo
+            ) - 7.0 * s_lo
+            wd = (
+                jnp.concatenate([hi, lo], axis=1)
+                .reshape(bk, bn).astype(x.dtype)
+            )
+            o_ref[:] += jax.lax.dot_general(
+                x, wd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
+
         if variant == "overlap":
             # heavy compute that does NOT read the weight tile (beyond a
             # token touch): if the pipeline overlaps DMA with compute this
