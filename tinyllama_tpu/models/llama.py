@@ -170,6 +170,7 @@ def _block(
     tp_axis: str | None = None,  # shard_map TP: psum after row-parallel mats
     aq8: bool = False,
     tp_overlap: int = 0,  # != 0: ring-overlapped all-reduce of that width
+    ctx_bound: int | None = None,  # host-static: every attended pos < this
 ):
     """One pre-norm transformer block (gten/modules.cpp:224-254).
 
@@ -237,13 +238,17 @@ def _block(
                     flash_paged_staged_attention,
                 )
 
-                attn = flash_paged_staged_attention(q, cache, li, pos)
+                attn = flash_paged_staged_attention(
+                    q, cache, li, pos, ctx_bound=ctx_bound
+                )
             else:
                 from tinyllama_tpu.ops.pallas.flash_prefill import (
                     flash_staged_attention,
                 )
 
-                attn = flash_staged_attention(q, cache, li, pos)
+                attn = flash_staged_attention(
+                    q, cache, li, pos, ctx_bound=ctx_bound
+                )
         else:
             k_eff, v_eff = staged_layer_view(cache, li, x.dtype)
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
@@ -251,10 +256,11 @@ def _block(
         cache = update_paged_at_layer(cache, li, k, v, pos)
         if use_pallas and T == 1:
             # page-walking flash decode: DMA cost tracks each row's fill
-            attn = flash_paged_attention(q, cache, li, pos)
+            attn = flash_paged_attention(q, cache, li, pos,
+                                         ctx_bound=ctx_bound)
         else:
             # prefill / fallback: gather the pages into a dense view
-            k_eff, v_eff = paged_layer_view(cache, li, x.dtype)
+            k_eff, v_eff = paged_layer_view(cache, li, x.dtype, ctx_bound)
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
     else:
         cache = update_cache_at_layer(cache, li, k, v, pos)
@@ -266,13 +272,15 @@ def _block(
                 fused_attn_out,
             )
 
-            x = fused_attn_out(q, cache, li, pos, x, lp["wo"])
+            x = fused_attn_out(q, cache, li, pos, x, lp["wo"],
+                               ctx_bound=ctx_bound)
             attn = None
         elif use_pallas and T == 1:
             # decode: all kv heads per grid step (grid (B, S/bs) with
             # fill-pruned tiles) — the generic kernel's (B, Kh, 1, S/bs)
             # grid pays ~0.3 us of per-step overhead on tiny work
-            attn = flash_decode_heads_attention(q, cache, li, pos)
+            attn = flash_decode_heads_attention(q, cache, li, pos,
+                                                ctx_bound=ctx_bound)
         elif use_pallas:
             # blocked kernel with causal tile pruning: cost tracks the
             # filled context per sequence — an unblocked single-pass
@@ -327,6 +335,7 @@ def forward(
     use_pallas: bool = False,
     tp_axis: str | None = None,
     tp_overlap: int = 0,
+    ctx_bound: int | None = None,  # host-static: every attended pos < this
 ) -> tuple[jnp.ndarray, KVCache]:
     """Run the model over T new tokens per sequence.
 
@@ -376,6 +385,7 @@ def forward(
             q_positions, cos_g, sin_g, use_pallas,
             layer=li if stacked_q else None,
             tp_axis=tp_axis, aq8=policy.aq8, tp_overlap=tp_overlap,
+            ctx_bound=ctx_bound,
         )
 
     if scanned_ws or B * T > 1:

@@ -135,10 +135,11 @@ def _wo_tile_dot(attn_bf, wd, s, kind: str, compute_dtype, k0: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "interpret"),
+    static_argnames=("kind", "interpret", "bound"),
 )
 def _run_attn_out(
-    qg, ck, cv, ck_s, cv_s, wd, ws, res, li, pos, kind, interpret
+    qg, ck, cv, ck_s, cv_s, wd, ws, res, li, pos, kind, interpret,
+    bound=None,
 ):
     Kh, G, d = qg.shape
     H = Kh * G
@@ -150,8 +151,10 @@ def _run_attn_out(
     if ws.dtype == jnp.float16:
         ws = jax.lax.bitcast_convert_type(ws, jnp.int16)
 
+    from tinyllama_tpu.ops.pallas.flash_prefill import _bound_tiles
+
     bs = _tile(S, 512)  # measured best vs 256/1024 at b1 decode fills
-    n_s = S // bs
+    n_s = _bound_tiles(S, bs, bound)
     bn = _pick_bn(N)
     bk = _pick_bk(D, bn, kind)
     bk_rows = bk // 2 if kind in ("q4", "q4g") else bk
@@ -287,6 +290,7 @@ def fused_attn_out(
     residual: jnp.ndarray,  # [1, 1, D] the block input x
     wo: QTensor,  # layer-stacked kn
     interpret: bool | None = None,
+    ctx_bound: int | None = None,  # host-static: every pos < ctx_bound
 ) -> jnp.ndarray:
     """residual + attention(q, cache) @ dequant(wo), one pallas_call.
 
@@ -308,6 +312,6 @@ def fused_attn_out(
         qg, cache.k, cache.v, cache.k_scale, cache.v_scale,
         wo.data, wo.scales, res,
         jnp.reshape(li, (1,)).astype(jnp.int32),
-        pos.astype(jnp.int32), wo.kind, interpret,
+        pos.astype(jnp.int32), wo.kind, interpret, ctx_bound,
     )
     return out[0:1].reshape(1, 1, D).astype(residual.dtype)

@@ -110,11 +110,25 @@ def _flash_paged_kernel(
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret):
+def _bound_pages(J: int, P: int, bound: int | None) -> int:
+    """Page-walk grid length: pages covering `bound` positions (or the
+    whole table width). Past-fill steps already skip their DMA via the
+    clamped index maps, but still cost ~0.3 us of grid machinery each —
+    a max_ctx-wide walk at serving fills is mostly empty steps (see
+    flash_prefill._bound_tiles). `bound` is a host-static promise that
+    every attended position is < bound."""
+    if bound is None:
+        return J
+    assert bound >= 1
+    return max(1, min(J, -(-bound // P)))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "bound"))
+def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret,
+                 bound=None):
     B, Kh, G, d = q.shape
     P = ck.shape[3]
-    J = table.shape[1]
+    J = _bound_pages(table.shape[1], P, bound)
     compute_dtype = q.dtype
     quant = ck_s is not None
 
@@ -237,14 +251,14 @@ def _flash_paged_staged_kernel(
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bound"))
 def _flash_paged_staged(
     q, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool, ntail, table,
-    interpret,
+    interpret, bound=None,
 ):
     B, Kh, G, d = q.shape
     P = ck.shape[3]
-    J = table.shape[1]
+    J = _bound_pages(table.shape[1], P, bound)
     compute_dtype = q.dtype
     quant = ck_s is not None
     Cs = sk.shape[3]
@@ -322,6 +336,7 @@ def flash_paged_staged_attention(
     li: jnp.ndarray,  # scalar int32 layer index
     pos: jnp.ndarray,  # [B] int32 position of the new token
     interpret: bool | None = None,
+    ctx_bound: int | None = None,  # host-static: every pos < ctx_bound
 ) -> jnp.ndarray:
     """Single-token GQA attention over pool pages + the chunk's staged
     tail (the new token's k/v already staged at slot pos - base)."""
@@ -339,6 +354,7 @@ def flash_paged_staged_attention(
         qg, pool.k, pool.v, st.sk, st.sv,
         pool.k_scale, pool.v_scale, st.sk_scale, st.sv_scale,
         li, npool, ntail, pool.table.astype(jnp.int32), interpret,
+        ctx_bound,
     )
     return out.reshape(B, 1, H, d).astype(q.dtype)
 
@@ -349,6 +365,7 @@ def flash_paged_attention(
     li: jnp.ndarray,  # scalar int32 layer index
     pos: jnp.ndarray,  # [B] int32 position of the new token
     interpret: bool | None = None,
+    ctx_bound: int | None = None,  # host-static: every pos < ctx_bound
 ) -> jnp.ndarray:
     """Single-token GQA attention over the paged cache (the new token's
     k/v must already be written at `pos`). Returns [B, 1, H, d]."""
@@ -362,5 +379,6 @@ def flash_paged_attention(
     out = _flash_paged(
         qg, cache.k, cache.v, cache.k_scale, cache.v_scale, li,
         pos.astype(jnp.int32), cache.table.astype(jnp.int32), interpret,
+        ctx_bound,
     )
     return out.reshape(B, 1, H, d).astype(q.dtype)

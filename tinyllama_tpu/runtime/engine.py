@@ -68,6 +68,19 @@ def _bucket(n: int, max_ctx: int, minimum: int = 16) -> int:
     return min(b, max_ctx)
 
 
+def _ctx_bucket(fill_end: int, max_ctx: int, minimum: int = 512) -> int:
+    """Power-of-two context bound covering `fill_end` positions.
+
+    Every decode-attention kernel walks its key tiles/pages over a grid
+    sized by this host-static bound instead of max_ctx: the walk's
+    past-fill steps skip their DMA either way, but each still costs
+    ~0.3 us of grid machinery — at serving fills far below max_ctx that
+    empty machinery was 65% of a B=32 decode step (see
+    flash_prefill._bound_tiles). Power-of-two bucketing keeps the
+    compile-variant count at log2(max_ctx / minimum) + 1."""
+    return min(_bucket(fill_end, max_ctx, minimum), max_ctx)
+
+
 class Engine:
     """Single-program inference engine over one model + dtype policy.
 
@@ -233,10 +246,18 @@ class Engine:
         rope_tables = self.rope_tables
         tp_axis, tp_overlap = self._tp_axis, self.tp_overlap
 
+        # paged prefill always starts at pos 0 (admission/CLI), so T
+        # bounds every attended position exactly and the dense page
+        # gather (paged_layer_view) shrinks from the table's max_ctx
+        # width to the prompt bucket. T == 1 is decode_step at arbitrary
+        # pos — no bound.
+        ctx_bound = T if (paged and T > 1) else None
+
         def step(params, cache, tokens, pos, last):
             hidden, cache = llama.forward(
                 cfg, policy, params, tokens, cache, pos, rope_tables,
                 use_pallas, tp_axis=tp_axis, tp_overlap=tp_overlap,
+                ctx_bound=ctx_bound,
             )
             # gather the last valid hidden row per sequence: [B, D]
             h_last = jnp.take_along_axis(
@@ -299,7 +320,8 @@ class Engine:
     # ------------------------------------------------------ device decode loop
 
     def _chunk_fn(self, C: int, greedy: bool, top_k: int,
-                  paged: bool = False) -> Callable:
+                  paged: bool = False,
+                  ctx_bound: int | None = None) -> Callable:
         """Compiled chunk: sample + decode C tokens entirely on device.
 
         (params, cache, logits[B,V], pos[B], key, eos, temp) ->
@@ -312,7 +334,7 @@ class Engine:
         of B chained per-row cache writes, flushed into the real cache
         once at chunk exit — the per-step write cost is O(1) in batch.
         """
-        sig = (C, greedy, top_k, paged)
+        sig = (C, greedy, top_k, paged, ctx_bound)
         if sig in self._chunks:
             return self._chunks[sig]
 
@@ -347,7 +369,7 @@ class Engine:
                 hidden, state = llama.forward(
                     cfg, policy, params, tok[:, None], state, pos,
                     rope_tables, use_pallas, tp_axis=tp_axis,
-                    tp_overlap=tp_overlap,
+                    tp_overlap=tp_overlap, ctx_bound=ctx_bound,
                 )
                 logits = llama.lm_head_logits(
                     params, hidden[:, 0], use_pallas, policy.aq8
@@ -404,7 +426,18 @@ class Engine:
             # zero iterations, tinyllama.cpp:456): skip decode entirely
             return [], stats
         C = max(1, min(gen.chunk_size, max_new))
-        chunk = self._chunk_fn(C, gen.greedy, gen.top_k, paged=self.paged)
+        # per-dispatch fill-bucketed attention grids: chunk k ends at
+        # position start + k*C, so early chunks walk 512-wide key grids
+        # instead of max_ctx-wide ones (same compiled fn per bucket)
+        start, n_disp = int(lens[0]), 0
+
+        def next_chunk():
+            nonlocal n_disp
+            n_disp += 1
+            return self._chunk_fn(
+                C, gen.greedy, gen.top_k, paged=self.paged,
+                ctx_bound=_ctx_bucket(start + n_disp * C, self.max_ctx),
+            )
 
         out: list[int] = []
         pos = jnp.asarray([int(lens[0])], jnp.int32)
@@ -417,14 +450,16 @@ class Engine:
         # reading chunk i's tokens, so the host<->device round-trip (large
         # behind a remote-chip tunnel) overlaps device execution. At most
         # one chunk of work is wasted when EOS lands.
-        toks, done, logits, cache, pos, key = chunk(
+        toks, done, logits, cache, pos, key = next_chunk()(
             self.params, cache, logits, pos, key, eos, temp
         )
         while len(out) < max_new and not finished:
             t1 = time.perf_counter()
             need_more = len(out) + toks.shape[1] < max_new
             if need_more:
-                nxt = chunk(self.params, cache, logits, pos, key, eos, temp)
+                nxt = next_chunk()(
+                    self.params, cache, logits, pos, key, eos, temp
+                )
             toks_np = np.asarray(toks)[0]  # one transfer per chunk
             stats.decode_token_times.append(time.perf_counter() - t1)
             for t in toks_np:
@@ -542,7 +577,15 @@ class Engine:
         if not max_new:
             return [[] for _ in range(B)], stats
         C = max(1, min(gen.chunk_size, max_new))
-        chunk = self._chunk_fn(C, gen.greedy, gen.top_k, paged=self.paged)
+        start, n_disp = int(lens.max()), 0
+
+        def next_chunk():
+            nonlocal n_disp
+            n_disp += 1
+            return self._chunk_fn(
+                C, gen.greedy, gen.top_k, paged=self.paged,
+                ctx_bound=_ctx_bucket(start + n_disp * C, self.max_ctx),
+            )
 
         outs: list[list[int]] = [[] for _ in range(B)]
         finished = [b == 0 for b in budgets]
@@ -553,7 +596,7 @@ class Engine:
         t_decode = time.perf_counter()
         emitted = 0
         while emitted < max_new and not all(finished):
-            toks, done, logits, cache, pos, key = chunk(
+            toks, done, logits, cache, pos, key = next_chunk()(
                 self.params, cache, logits, pos, key, eos, temp
             )
             toks_np = np.asarray(toks)

@@ -182,13 +182,20 @@ def update_paged_at_layer(
 
 
 def paged_layer_view(
-    cache: PagedKVCache, li: jnp.ndarray, dtype
+    cache: PagedKVCache, li: jnp.ndarray, dtype,
+    ctx_bound: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather layer li's pages into dense [B, Kh, S, d] k/v (the XLA
-    fallback read path — CPU tests and non-Pallas decode; the flash
-    kernel reads the pool directly via the page table)."""
+    fallback read path — prefill, CPU tests and non-Pallas decode; the
+    flash decode kernel reads the pool directly via the page table).
+    `ctx_bound` (host-static, every attended position < ctx_bound)
+    trims the gather to the pages that can hold live positions — an
+    admission prefill of a 33-token prompt gathers 1 page per layer
+    instead of the table's max_ctx-wide 16."""
     k, v = cache.k[li], cache.v[li]  # [NP, Kh, P, d]
     tbl = cache.table  # [B, J]
+    if ctx_bound is not None:
+        tbl = tbl[:, : max(1, -(-ctx_bound // cache.page_size))]
     kg = k[tbl]  # [B, J, Kh, P, d]
     vg = v[tbl]
     B, J, Kh, P, d = kg.shape

@@ -388,8 +388,21 @@ class ContinuousBatcher:
             C = min(C, 1 << (max(max(rem), 1) - 1).bit_length())
         was_running = [r is not None for r in self.running]
         if any(was_running):
+            # fill-bucketed attention grids: the chunk's key walk covers
+            # the largest live fill at chunk end, not max_ctx (parked
+            # slots sit at pos 0 and are always covered). Floor 256
+            # keeps the variant count small; serving fills rarely leave
+            # the first bucket.
+            from tinyllama_tpu.runtime.engine import _ctx_bucket
+
+            fill_end = max(
+                len(r.prompt) + len(r.output)
+                for r in self.running if r is not None
+            ) + C + 1
+            bound = _ctx_bucket(fill_end, self.engine.max_ctx, minimum=256)
             chunk = self.engine._chunk_fn(
-                C, self.gen.greedy, self.gen.top_k, paged=self.paged
+                C, self.gen.greedy, self.gen.top_k, paged=self.paged,
+                ctx_bound=bound,
             )
             logits_in, pos_in = self.logits, self.pos
             if self.paged:

@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--paged", action="store_true",
                     help="profile the paged-KV decode path")
+    ap.add_argument("--ctx-bound", type=int, default=None,
+                    help="fill-bucketed attention grid bound (see "
+                         "runtime/engine._ctx_bucket)")
     ap.add_argument("--model", default="tinyllama-1.1b-chat-v0.4")
     ap.add_argument("--prefill", type=int, default=0,
                     help="profile one prefill of this length instead of decode")
@@ -76,7 +79,8 @@ def main(argv=None) -> int:
         prompts = [list(range(2, 34))] * args.batch
         cache = engine.new_cache(args.batch)
         logits, cache, lens = engine.prefill(cache, prompts)
-        chunk = engine._chunk_fn(args.steps, True, 50, paged=args.paged)
+        chunk = engine._chunk_fn(args.steps, True, 50, paged=args.paged,
+                                 ctx_bound=args.ctx_bound)
         pos = jnp.asarray(lens, jnp.int32)
         key = jax.random.PRNGKey(0)
         eos, temp = jnp.int32(-1), jnp.float32(1.0)
