@@ -187,28 +187,38 @@ def _flash_paged(q, ck, cv, ck_s, cv_s, li, pos, table, interpret,
 
 def _flash_paged_staged_kernel(
     li_ref, npool_ref, ntail_ref, tbl_ref,  # scalar prefetch
-    q_ref, k_ref, v_ref, sk_ref, sv_ref, *rest,
-    compute_dtype,
+    q_ref, *rest,
+    compute_dtype, R: int, quant: bool,
 ):
-    """Pool-page walk + one staged-tail step (see flash_paged_staged).
+    """Pool-page walk + one staged-tail step, R batch rows per grid step.
 
-    Grid (B, J + 1): steps j < J walk the sequence's pool pages (clamped
-    past the pool fill, so their DMAs skip), step j == J attends the
-    chunk-local staging tail (runtime/staging.py) and writes the output.
+    Grid (B/R, J + 1): steps j < J walk R sequences' pool pages (each
+    row's page rides its own operand spec, clamped past the row's pool
+    fill so its DMA skips independently), step j == J attends the
+    chunk-local staging tail (runtime/staging.py — one contiguous
+    [R, Kh, Cs, d] block) and writes the R rows' outputs. Merging rows
+    amortizes the ~0.3 us/step grid machinery that dominates this
+    kernel at decode shapes (the per-row work is a handful of [G, P]
+    ops) and keeps R page DMAs in flight per step.
     """
     from tinyllama_tpu.ops.pallas.softmax_update import online_update
 
-    if len(rest) == 8:
-        (ks_ref, vs_ref, sks_ref, svs_ref,
-         o_ref, m_ref, l_ref, acc_ref) = rest
+    k_refs, v_refs = rest[:R], rest[R : 2 * R]
+    sk_ref, sv_ref = rest[2 * R : 2 * R + 2]
+    rest = rest[2 * R + 2 :]
+    if quant:
+        ks_refs, vs_refs = rest[:R], rest[R : 2 * R]
+        sks_ref, svs_ref = rest[2 * R : 2 * R + 2]
+        rest = rest[2 * R + 2 :]
     else:
-        ks_ref = vs_ref = sks_ref = svs_ref = None
-        o_ref, m_ref, l_ref, acc_ref = rest
+        ks_refs = vs_refs = [None] * R
+        sks_ref = svs_ref = None
+    o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     j = pl.program_id(1)
     n_steps = pl.num_programs(1)  # J + 1
-    Kh, G, d = q_ref.shape
-    P = k_ref.shape[1]
+    _, Kh, G, d = q_ref.shape
+    P = k_refs[0].shape[1]
 
     @pl.when(j == 0)
     def _():
@@ -216,34 +226,47 @@ def _flash_paged_staged_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    n_pool = npool_ref[b]  # positions resident in the pool (the chunk base)
-
-    @pl.when((j < n_steps - 1) & (j * P < n_pool))
+    @pl.when(j < n_steps - 1)
     def _():
-        key_pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
-        ok = key_pos < n_pool
-        for h in range(Kh):  # static unroll: one page DMA, Kh heads' dots
-            online_update(
-                q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
-                None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
-                None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
-                ok, slice(h * G, (h + 1) * G), m_ref, l_ref, acc_ref,
-                compute_dtype,
-            )
+        for r in range(R):
+            # positions resident in the pool (the row's chunk base)
+            n_pool = npool_ref[b * R + r]
+
+            @pl.when(j * P < n_pool)
+            def _(r=r, n_pool=n_pool):
+                key_pos = j * P + jax.lax.broadcasted_iota(
+                    jnp.int32, (G, P), 1
+                )
+                ok = key_pos < n_pool
+                for h in range(Kh):  # one page DMA, Kh heads' dots
+                    online_update(
+                        q_ref[r, h].astype(compute_dtype),
+                        k_refs[r][h], v_refs[r][h],
+                        None if ks_refs[r] is None
+                        else ks_refs[r][pl.ds(h, 1), :],
+                        None if vs_refs[r] is None
+                        else vs_refs[r][pl.ds(h, 1), :],
+                        ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
+                        m_ref, l_ref, acc_ref, compute_dtype,
+                    )
 
     @pl.when(j == n_steps - 1)
     def _():
-        Cs = sk_ref.shape[1]
+        Cs = sk_ref.shape[2]
         slot = jax.lax.broadcasted_iota(jnp.int32, (G, Cs), 1)
-        ok = slot < ntail_ref[b]
-        for h in range(Kh):
-            online_update(
-                q_ref[h].astype(compute_dtype), sk_ref[h], sv_ref[h],
-                None if sks_ref is None else sks_ref[pl.ds(h, 1), :],
-                None if svs_ref is None else svs_ref[pl.ds(h, 1), :],
-                ok, slice(h * G, (h + 1) * G), m_ref, l_ref, acc_ref,
-                compute_dtype,
-            )
+        for r in range(R):
+            ok = slot < ntail_ref[b * R + r]
+            for h in range(Kh):
+                online_update(
+                    q_ref[r, h].astype(compute_dtype),
+                    sk_ref[r, h], sv_ref[r, h],
+                    None if sks_ref is None
+                    else sks_ref[r, pl.ds(h, 1), :],
+                    None if svs_ref is None
+                    else svs_ref[r, pl.ds(h, 1), :],
+                    ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
+                    m_ref, l_ref, acc_ref, compute_dtype,
+                )
         denom = l_ref[:, :1]
         denom = jnp.where(denom > 0.0, denom, 1.0)
         o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(
@@ -251,10 +274,11 @@ def _flash_paged_staged_kernel(
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bound"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "bound", "rows"))
 def _flash_paged_staged(
     q, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool, ntail, table,
-    interpret, bound=None,
+    interpret, bound=None, rows=1,
 ):
     B, Kh, G, d = q.shape
     P = ck.shape[3]
@@ -262,59 +286,68 @@ def _flash_paged_staged(
     compute_dtype = q.dtype
     quant = ck_s is not None
     Cs = sk.shape[3]
+    R = rows
+    assert B % R == 0, (B, R)
 
-    def page(b, j, li, npool, ntail, tbl):
+    def page(row, j, npool, tbl):
         # clamp past-fill (and the tail step's) page index to the last
         # pool page: the repeated block index skips its DMA entirely
-        return tbl[b, jnp.minimum(j, jnp.maximum(npool[b] - 1, 0) // P)]
+        return tbl[row, jnp.minimum(j, jnp.maximum(npool[row] - 1, 0) // P)]
 
-    grid = (B, J + 1)
-    pool_spec = pl.BlockSpec(
-        (None, None, Kh, P, d),
-        lambda b, j, li, npool, ntail, tbl:
-        (li[0], page(b, j, li, npool, ntail, tbl), 0, 0, 0),
-    )
+    grid = (B // R, J + 1)
+
+    def pool_spec(r, scales):
+        shape = (None, None, Kh, P) if scales else (None, None, Kh, P, d)
+
+        def idx(b, j, li, npool, ntail, tbl, r=r):
+            i = (li[0], page(b * R + r, j, npool, tbl), 0, 0)
+            return i if scales else i + (0,)
+
+        return pl.BlockSpec(shape, idx)
+
+    # the staging tail is batch-contiguous: R rows ride ONE block/DMA
     tail_spec = pl.BlockSpec(
-        (None, None, Kh, Cs, d),
+        (None, R, Kh, Cs, d),
         lambda b, j, li, npool, ntail, tbl: (li[0], b, 0, 0, 0),
     )
     in_specs = [
-        pl.BlockSpec((None, Kh, G, d),
+        pl.BlockSpec((R, Kh, G, d),
                      lambda b, j, li, npool, ntail, tbl: (b, 0, 0, 0)),
-        pool_spec, pool_spec, tail_spec, tail_spec,
+        *[pool_spec(r, False) for r in range(R)],  # k pages
+        *[pool_spec(r, False) for r in range(R)],  # v pages
+        tail_spec, tail_spec,
     ]
-    operands = [q, ck, cv, sk, sv]
+    operands = [q] + [ck] * R + [cv] * R + [sk, sv]
     if quant:
-        scale_spec = pl.BlockSpec(
-            (None, None, Kh, P),
-            lambda b, j, li, npool, ntail, tbl:
-            (li[0], page(b, j, li, npool, ntail, tbl), 0, 0),
-        )
         tail_scale_spec = pl.BlockSpec(
-            (None, None, Kh, Cs),
+            (None, R, Kh, Cs),
             lambda b, j, li, npool, ntail, tbl: (li[0], b, 0, 0),
         )
-        in_specs += [scale_spec, scale_spec, tail_scale_spec,
-                     tail_scale_spec]
-        operands += [ck_s, cv_s, sk_s, sv_s]
+        in_specs += [
+            *[pool_spec(r, True) for r in range(R)],
+            *[pool_spec(r, True) for r in range(R)],
+            tail_scale_spec, tail_scale_spec,
+        ]
+        operands += [ck_s] * R + [cv_s] * R + [sk_s, sv_s]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (None, Kh, G, d),
+            (R, Kh, G, d),
             lambda b, j, li, npool, ntail, tbl: (b, 0, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Kh * G, 128), jnp.float32),  # running max
-            pltpu.VMEM((Kh * G, 128), jnp.float32),  # running denom
-            pltpu.VMEM((Kh * G, d), jnp.float32),  # weighted-V accumulator
+            pltpu.VMEM((R * Kh * G, 128), jnp.float32),  # running max
+            pltpu.VMEM((R * Kh * G, 128), jnp.float32),  # running denom
+            pltpu.VMEM((R * Kh * G, d), jnp.float32),  # weighted-V acc
         ],
     )
     return pl.pallas_call(
         functools.partial(
-            _flash_paged_staged_kernel, compute_dtype=compute_dtype
+            _flash_paged_staged_kernel, compute_dtype=compute_dtype,
+            R=R, quant=quant,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Kh, G, d), jnp.float32),
@@ -350,11 +383,15 @@ def flash_paged_staged_attention(
     li = jnp.reshape(li, (1,)).astype(jnp.int32)
     npool = st.base.astype(jnp.int32)
     ntail = (pos - st.base + 1).astype(jnp.int32)
+    # batch rows per grid step: the per-row work is tiny, so grid
+    # machinery dominates — merge as many rows as divide B (capped:
+    # the body unrolls R * Kh head updates)
+    rows = next(r for r in (4, 2, 1) if B % r == 0)
     out = _flash_paged_staged(
         qg, pool.k, pool.v, st.sk, st.sv,
         pool.k_scale, pool.v_scale, st.sk_scale, st.sv_scale,
         li, npool, ntail, pool.table.astype(jnp.int32), interpret,
-        ctx_bound,
+        ctx_bound, rows,
     )
     return out.reshape(B, 1, H, d).astype(q.dtype)
 
