@@ -11,8 +11,10 @@ Design (TPU-first):
   * new requests are prefilled in one batched call whose batch size is
     padded to a power-of-two bucket (bounded compile variants; the
     bucket's cache buffers are allocated once and reused across
-    admissions), then inserted into the live batch state with one jitted
-    scatter (`_insert_slot`). The admission prefill is dispatched while
+    admissions), then inserted into the live batch state with ONE jitted
+    dispatch for the whole admitted set (`_insert_slots`) — per-row
+    eager inserts cost a host round-trip each, ruinous behind a
+    high-latency chip tunnel. The admission prefill is dispatched while
     the previous decode chunk is still in flight, so the host never
     stalls running slots on a prompt (on-device the chunk and the
     prefill serialize — one chip — but no decode chunk is ever delayed
@@ -62,57 +64,71 @@ class Request:
 
 
 @jax.jit
-def _gather_rows(logits, pos, idx):
-    """Bucket downshift: pull the active slots' rows into compact
-    [bucket, ...] arrays for a narrow decode chunk."""
-    return jnp.take(logits, idx, axis=0), jnp.take(pos, idx, axis=0)
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def _scatter_rows(logits, pos, logits_rows, pos_rows, idx):
-    """Bucket downshift: write a narrow chunk's rows back into the
-    full-width state (idx entries are distinct — an in-place scatter)."""
-    return logits.at[idx].set(logits_rows), pos.at[idx].set(pos_rows)
+def _gather_rows(logits, idx):
+    """Bucket downshift: pull the active slots' logits rows into a
+    compact [bucket, V] array for a narrow decode chunk."""
+    return jnp.take(logits, idx, axis=0)
 
 
 @partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(logits, logits_rows, idx):
+    """Bucket downshift: write a narrow chunk's logits rows back into
+    the full-width state (idx entries are distinct — an in-place
+    scatter)."""
+    return logits.at[idx].set(logits_rows)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("take",))
 def _insert_logits(
     logits_state: jnp.ndarray,  # [B, V]
-    row_logits: jnp.ndarray,  # [1, V]
-    slot: jnp.ndarray,  # scalar int32
+    row_logits: jnp.ndarray,  # [bucket, V] admission logits
+    slots: jnp.ndarray,  # [bucket] int32 (entries >= take unused)
+    take: int,
 ):
-    """Paged mode: only the logits row moves — the admission prefill
-    already wrote the request's K/V into its own pool pages."""
-    return jax.lax.dynamic_update_slice(
-        logits_state, row_logits, (slot, jnp.int32(0))
-    )
+    """Paged mode: only the logits rows move — the admission prefill
+    already wrote each request's K/V into its own pool pages. All
+    admitted rows land in ONE dispatch: an eager per-row insert loop
+    costs a ~3 ms host round-trip per row on a tunneled chip (measured
+    ~0.5 s/wave at 32 slots — half the serving wall)."""
+    for i in range(take):
+        logits_state = jax.lax.dynamic_update_slice(
+            logits_state, row_logits[i : i + 1], (slots[i], jnp.int32(0))
+        )
+    return logits_state
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _insert_slot(
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("take",))
+def _insert_slots(
     cache: KVCache,
     logits_state: jnp.ndarray,  # [B, V]
-    row_cache: KVCache,  # B=1
-    row_logits: jnp.ndarray,  # [1, V]
-    slot: jnp.ndarray,  # scalar int32
+    batch_cache: KVCache,  # admission cache (bucket rows; NOT donated)
+    row_logits: jnp.ndarray,  # [bucket, V]
+    slots: jnp.ndarray,  # [bucket] int32 (entries >= take unused)
+    take: int,
 ):
-    """Scatter one prefilled request into batch slot `slot`."""
+    """Scatter `take` prefilled requests into their batch slots in one
+    dispatch (chained per-row DUS — a batched scatter would copy the
+    whole cache slab; `take` is already power-of-two bucketed upstream,
+    so at most log2(B) variants compile)."""
 
-    def put(buf, row):
+    def put(buf, rows, i):
         if buf is None:
             return None
-        start = (0, slot) + (0,) * (buf.ndim - 2)
-        return jax.lax.dynamic_update_slice(buf, row.astype(buf.dtype), start)
+        start = (jnp.int32(0), slots[i]) + (jnp.int32(0),) * (buf.ndim - 2)
+        return jax.lax.dynamic_update_slice(
+            buf, rows[:, i : i + 1].astype(buf.dtype), start
+        )
 
-    cache = KVCache(
-        k=put(cache.k, row_cache.k),
-        v=put(cache.v, row_cache.v),
-        k_scale=put(cache.k_scale, row_cache.k_scale),
-        v_scale=put(cache.v_scale, row_cache.v_scale),
-    )
-    logits_state = jax.lax.dynamic_update_slice(
-        logits_state, row_logits, (slot, jnp.int32(0))
-    )
+    for i in range(take):
+        cache = KVCache(
+            k=put(cache.k, batch_cache.k, i),
+            v=put(cache.v, batch_cache.v, i),
+            k_scale=put(cache.k_scale, batch_cache.k_scale, i),
+            v_scale=put(cache.v_scale, batch_cache.v_scale, i),
+        )
+        logits_state = jax.lax.dynamic_update_slice(
+            logits_state, row_logits[i : i + 1], (slots[i], jnp.int32(0))
+        )
     return cache, logits_state
 
 
@@ -154,7 +170,12 @@ class ContinuousBatcher:
         self.paged = paged
         V = engine.cfg.n_vocab
         self.logits = jnp.zeros((self.B, V), jnp.float32)
-        self.pos = jnp.zeros((self.B,), jnp.int32)
+        # positions live on the HOST and upload with each chunk dispatch
+        # ([B] int32 — noise next to the chunk args): keeping them on
+        # device meant an eager .at[].set per admitted/finished row,
+        # ~3 ms of tunnel round-trip each (measured ~1/3 of the serving
+        # wall at 32 slots)
+        self.pos_np = np.zeros((self.B,), np.int32)
         self.key = jax.random.PRNGKey(self.gen.seed)
         if paged:
             from tinyllama_tpu.runtime.paged import (
@@ -186,7 +207,6 @@ class ContinuousBatcher:
             self.table_np = np.zeros((self.B, self.J), np.int32)
             self.slot_pages: list[list[int]] = [[] for _ in range(self.B)]
             self.slot_reserved: list[int] = [0] * self.B
-            self.pos_host: list[int] = [0] * self.B
             self.cache = None
         else:
             self.cache = engine.new_cache(self.B)
@@ -314,30 +334,31 @@ class ContinuousBatcher:
     def _insert_admitted(self, admitted) -> None:
         if admitted[0] == "paged":
             _, free, reqs, needs, pages_list, logits, lens = admitted
+            take = len(reqs)
+            slots = np.zeros((logits.shape[0],), np.int32)
             for i, (slot, req) in enumerate(zip(free, reqs)):
                 self.slot_pages[slot] = pages_list[i]
                 self.slot_reserved[slot] = needs[i]
                 self.table_np[slot, :] = 0
                 self.table_np[slot, : len(pages_list[i])] = pages_list[i]
-                self.logits = _insert_logits(
-                    self.logits, logits[i : i + 1], jnp.int32(slot)
-                )
-                self.pos = self.pos.at[slot].set(int(lens[i]))
-                self.pos_host[slot] = int(lens[i])
+                self.pos_np[slot] = int(lens[i])
                 self.running[slot] = req
+                slots[i] = slot
+            self.logits = _insert_logits(
+                self.logits, logits, jnp.asarray(slots), take
+            )
             return
         free, reqs, logits, batch_cache, lens, bucket = admitted
+        take = len(reqs)
+        slots = np.zeros((bucket,), np.int32)
         for i, (slot, req) in enumerate(zip(free, reqs)):
-            row_cache = jax.tree.map(
-                lambda a: None if a is None else a[:, i : i + 1],
-                batch_cache, is_leaf=lambda a: a is None,
-            )
-            self.cache, self.logits = _insert_slot(
-                self.cache, self.logits, row_cache, logits[i : i + 1],
-                jnp.int32(slot),
-            )
-            self.pos = self.pos.at[slot].set(int(lens[i]))
+            self.pos_np[slot] = int(lens[i])
             self.running[slot] = req
+            slots[i] = slot
+        self.cache, self.logits = _insert_slots(
+            self.cache, self.logits, batch_cache, logits,
+            jnp.asarray(slots), take,
+        )
         self._admit_caches[bucket] = batch_cache
 
     def _grow_pages(self, C: int) -> None:
@@ -346,7 +367,7 @@ class ContinuousBatcher:
         for slot, req in enumerate(self.running):
             if req is None:
                 continue
-            need = min(-(-(self.pos_host[slot] + C) // self.P), self.J)
+            need = min(-(-(int(self.pos_np[slot]) + C) // self.P), self.J)
             have = len(self.slot_pages[slot])
             if need > have:
                 new = self.alloc.alloc(need - have)
@@ -396,15 +417,15 @@ class ContinuousBatcher:
             from tinyllama_tpu.runtime.engine import _ctx_bucket
 
             fill_end = max(
-                len(r.prompt) + len(r.output)
-                for r in self.running if r is not None
+                int(self.pos_np[slot])
+                for slot, r in enumerate(self.running) if r is not None
             ) + C + 1
             bound = _ctx_bucket(fill_end, self.engine.max_ctx, minimum=256)
             chunk = self.engine._chunk_fn(
                 C, self.gen.greedy, self.gen.top_k, paged=self.paged,
                 ctx_bound=bound,
             )
-            logits_in, pos_in = self.logits, self.pos
+            logits_in, pos_np_in = self.logits, self.pos_np
             if self.paged:
                 self._grow_pages(C)
                 table = self.table_np
@@ -419,15 +440,17 @@ class ContinuousBatcher:
                             active + parked[: bucket - len(active)], np.int32
                         )
                         table = table[idx]
-                        logits_in, pos_in = _gather_rows(
-                            self.logits, self.pos, jnp.asarray(idx)
+                        pos_np_in = self.pos_np[idx]
+                        logits_in = _gather_rows(
+                            self.logits, jnp.asarray(idx)
                         )
                 cache_in = self.pool.with_table(jnp.asarray(table))
             else:
                 cache_in = self.cache
             in_flight = chunk(
-                self.engine.params, cache_in, logits_in, pos_in,
-                self.key, jnp.int32(self.gen.eos_token),
+                self.engine.params, cache_in, logits_in,
+                jnp.asarray(pos_np_in), self.key,
+                jnp.int32(self.gen.eos_token),
                 jnp.float32(self.gen.temperature),
             )
             if self.paged:
@@ -442,19 +465,18 @@ class ContinuousBatcher:
 
         toks, done, logits_out, cache_out, pos_out, self.key = in_flight
         if idx is None:
-            self.logits, self.pos = logits_out, pos_out
+            self.logits = logits_out
         else:
-            self.logits, self.pos = _scatter_rows(
-                self.logits, self.pos, logits_out, pos_out, jnp.asarray(idx)
+            self.logits = _scatter_rows(
+                self.logits, logits_out, jnp.asarray(idx)
             )
         if not self.paged:
             self.cache = cache_out
         toks_np = np.asarray(toks)  # [bucket, C] — one transfer
         now = time.perf_counter()
-        if self.paged:
-            for slot, was in enumerate(was_running):
-                if was:
-                    self.pos_host[slot] += C
+        for slot, was in enumerate(was_running):
+            if was:
+                self.pos_np[slot] += C
 
         max_ctx = self.engine.max_ctx
         rows = (
@@ -495,7 +517,7 @@ class ContinuousBatcher:
         # padding) write/attend one scratch position instead of paying
         # fill-pruned attention over the dead request's stale fill — and
         # pos can never creep past max_ctx on a long-parked slot
-        self.pos = self.pos.at[slot].set(0)
+        self.pos_np[slot] = 0
         if self.paged:
             # release pages + reservation; zero the table row so the
             # parked slot keeps writing into the scratch page (0)
