@@ -42,10 +42,11 @@ def _x(B=1, T=1, seed=1):
     )
 
 
-def test_fused_norm_qkv_matches_unfused(qparams):
+@pytest.mark.parametrize("B", [1, 32])  # 32 = serving tile-dequant body
+def test_fused_norm_qkv_matches_unfused(qparams, B):
     params, _ = qparams
     lw = params["layers"]
-    x = _x()
+    x = _x(B=B)
     li = jnp.int32(1)
     nw = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (CFG.n_embd,)))
     got = fused_norm_qkv(x, nw, lw["wqkv"], li, CFG.norm_eps,
@@ -56,11 +57,12 @@ def test_fused_norm_qkv_matches_unfused(qparams):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_fused_out_residual_matches_unfused(qparams):
+@pytest.mark.parametrize("B", [1, 32])
+def test_fused_out_residual_matches_unfused(qparams, B):
     params, _ = qparams
     lw = params["layers"]
-    attn = _x(seed=3)
-    res = _x(seed=4)
+    attn = _x(B=B, seed=3)
+    res = _x(B=B, seed=4)
     li = jnp.int32(0)
     got = fused_out_residual(attn, res, lw["wo"], li, interpret=True)
     want = res + linear(attn, lw["wo"], use_pallas=False, layer=li)
@@ -68,10 +70,11 @@ def test_fused_out_residual_matches_unfused(qparams):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_ffn_fused_normed_matches_unfused(qparams):
+@pytest.mark.parametrize("B", [1, 24])
+def test_ffn_fused_normed_matches_unfused(qparams, B):
     params, _ = qparams
     lw = params["layers"]
-    x = _x(seed=5)
+    x = _x(B=B, seed=5)
     li = jnp.int32(1)
     nw = jnp.abs(jax.random.normal(jax.random.PRNGKey(6), (CFG.n_embd,)))
     got = ffn_fused_normed(x, nw, lw["w_gateup"], lw["w_down"], li, CFG,

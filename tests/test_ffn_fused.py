@@ -14,7 +14,7 @@ CFG = tiny_test_config(n_embd=256, n_ffn=1024)
 
 
 @pytest.mark.parametrize("kind", ["q4", "q8", "q4g"])
-@pytest.mark.parametrize("M", [1, 8])
+@pytest.mark.parametrize("M", [1, 8, 17, 32])  # >8 = tile-dequant body
 def test_fused_matches_separate(kind, M):
     key = jax.random.PRNGKey(0)
     L, D, F = 3, CFG.n_embd, CFG.n_ffn

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tinyllama_tpu.ops.pallas.ffn_fused import _block_dot_q, _rms_normed
+from tinyllama_tpu.ops.pallas.ffn_fused import (
+    _FUSED_M,
+    _pick_dot_q,
+    _rms_normed,
+)
 from tinyllama_tpu.ops.pallas.qmatmul import (
     _SMALL_M, _load_scales, _pick_bk, _pick_bn,
 )
@@ -45,6 +49,7 @@ from tinyllama_tpu.quant.codec import BLOCK_SIZE, QTensor
 def _norm_qkv_kernel(
     li_ref, x_ref, nw_ref, w_ref, s_ref, o_ref, nx,
     *, kind: str, compute_dtype, bk: int, eps: float, inside: bool,
+    dot_q,
 ):
     n = pl.program_id(0)
     k = pl.program_id(1)
@@ -59,8 +64,8 @@ def _norm_qkv_kernel(
         o_ref[:] = jnp.zeros_like(o_ref)
 
     xb = nx[:, pl.ds(k * bk, bk)].astype(compute_dtype)
-    o_ref[:] += _block_dot_q(xb, w_ref[:], _load_scales(s_ref), kind,
-                             compute_dtype)
+    o_ref[:] += dot_q(xb, w_ref[:], _load_scales(s_ref), kind,
+                      compute_dtype)
 
 
 @functools.partial(
@@ -77,7 +82,7 @@ def _norm_qkv(x, nw, data, scales, li, kind, eps, inside, bm, interpret):
     grid = (pl.cdiv(N, bn), D // bk)
     kernel = functools.partial(
         _norm_qkv_kernel, kind=kind, compute_dtype=x.dtype, bk=bk,
-        eps=eps, inside=inside,
+        eps=eps, inside=inside, dot_q=_pick_dot_q(bm),
     )
     # nw is the [L, 1, D] *stacked* norm table — the layer is selected
     # by the prefetched scalar through a None leading block dim (the
@@ -124,7 +129,7 @@ def _norm_qkv(x, nw, data, scales, li, kind, eps, inside, bm, interpret):
 
 def _out_res_kernel(
     li_ref, x_ref, r_ref, w_ref, s_ref, o_ref,
-    *, kind: str, compute_dtype, bk: int,
+    *, kind: str, compute_dtype, bk: int, dot_q,
 ):
     k = pl.program_id(1)
 
@@ -133,8 +138,8 @@ def _out_res_kernel(
         o_ref[:] = r_ref[:].astype(jnp.float32)
 
     xb = x_ref[:, pl.ds(k * bk, bk)]
-    o_ref[:] += _block_dot_q(xb, w_ref[:], _load_scales(s_ref), kind,
-                             compute_dtype)
+    o_ref[:] += dot_q(xb, w_ref[:], _load_scales(s_ref), kind,
+                      compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "bm", "interpret"))
@@ -149,6 +154,7 @@ def _out_res(x, res, data, scales, li, kind, bm, interpret):
     grid = (pl.cdiv(N, bn), K // bk)
     kernel = functools.partial(
         _out_res_kernel, kind=kind, compute_dtype=x.dtype, bk=bk,
+        dot_q=_pick_dot_q(bm),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -181,9 +187,10 @@ def _out_res(x, res, data, scales, li, kind, bm, interpret):
 
 def decode_fused_eligible(cfg, lp, M: int, tp_axis, aq8: bool,
                           layer) -> bool:
-    """The fused decode-layer path: quantized kn weights, small M, no TP
-    collectives splitting the residual, layer-stacked params."""
-    if M > _SMALL_M or tp_axis is not None or aq8 or layer is None:
+    """The fused decode-layer path: quantized kn weights, latency or
+    serving M (blockdot <= 8, tile-dequant <= 32), no TP collectives
+    splitting the residual, layer-stacked params."""
+    if M > _FUSED_M or tp_axis is not None or aq8 or layer is None:
         return False
     for name in ("wqkv", "wo", "w_gateup", "w_down"):
         w = lp.get(name)
@@ -196,8 +203,9 @@ def _prep(x: jnp.ndarray):
     B, T, D = x.shape
     M = B * T
     x2 = x.reshape(M, D)
-    if M < _SMALL_M:
-        x2 = jnp.pad(x2, ((0, _SMALL_M - M), (0, 0)))
+    bm = _SMALL_M if M <= _SMALL_M else -(-M // 8) * 8
+    if M < bm:
+        x2 = jnp.pad(x2, ((0, bm - M), (0, 0)))
     return x2, M
 
 
@@ -223,7 +231,7 @@ def fused_norm_qkv(
     out = _norm_qkv(
         x2, nw, w.data, w.scales,
         jnp.reshape(li, (1,)).astype(jnp.int32), w.kind, float(eps),
-        bool(inside), max(M, _SMALL_M), interpret,
+        bool(inside), x2.shape[0], interpret,
     )
     return out[:M].reshape(B, T, -1).astype(x.dtype)
 
@@ -244,6 +252,6 @@ def fused_out_residual(
     out = _out_res(
         a2, r2, w.data, w.scales,
         jnp.reshape(li, (1,)).astype(jnp.int32), w.kind,
-        max(M, _SMALL_M), interpret,
+        a2.shape[0], interpret,
     )
     return out[:M].reshape(B, T, D).astype(residual.dtype)

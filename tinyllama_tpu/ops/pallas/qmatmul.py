@@ -223,6 +223,68 @@ def _qmm_kernel_smallm(*refs, kind: str, compute_dtype, aq8: bool):
     o_ref[:] += acc
 
 
+def _dequant_tile(w, s, kind: str, compute_dtype):
+    """Dequantize one loaded weight tile (packed values `w`, f32 block
+    scales `s` [BK//32, BN]) into a [BK, BN] compute-dtype tile — the
+    body of the throughput (bigm) matmul variant, shared by the fused
+    decode-layer kernels at serving M (8 < M <= 32)."""
+    bn = w.shape[-1]
+    if kind == "q4g":
+        bk = w.shape[0] * 2
+        pg = 256 if bk % 256 == 0 else 128
+        gb = pg // 2
+        # one scale per 128-row block, stored duplicated at [BK//32, BN]
+        # (row 4b is block b's scale); pack group g's hi plane is block
+        # 2g, its lo plane block 2g+1 (pg=256) or both block g (pg=128)
+        sg = s.reshape(bk // pg, pg // BLOCK_SIZE, 1, bn)
+        s_hi = sg[:, 0]  # [BK//pg, 1, BN]
+        s_lo = sg[:, 4] if pg == 256 else sg[:, 0]
+        g8 = w.reshape(bk // pg, gb, bn)
+        hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
+            s_hi * (1.0 / 16.0)
+        ) + s_hi
+        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
+            s_lo
+        ) - 7.0 * s_lo
+        return (
+            jnp.concatenate([hi, lo], axis=1)
+            .reshape(bk, bn)
+            .astype(compute_dtype)
+        )
+    if kind == "q8":
+        bk = w.shape[0]
+        # [BK//32, BN] scales broadcast over each 32-row block (sublanes)
+        s3 = s.reshape(bk // BLOCK_SIZE, 1, bn)
+        return (
+            (w.astype(jnp.float32)
+             .reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
+            .reshape(bk, bn)
+            .astype(compute_dtype)
+        )
+    bk = w.shape[0] * 2
+    # biased-hi packing (codec._pack_q4_kn): AND-only int8 unpack.
+    # The offsets and the /16 fold into per-plane FMAs against
+    # prescaled block scales (dequant here is VPU-bound — every op
+    # per element is ~2% of the matmul):
+    #   hi plane (block 2g):  (hi16/16 + 1) * s  ==  hi16*(s/16) + s
+    #   lo plane (block 2g+1): (lo - 7) * s      ==  lo*s - 7s
+    s2 = s.reshape(bk // KN_GROUP, 2, 1, bn)
+    s_hi = s2[:, 0]  # [BK//64, 1, BN] blocks covering the hi planes
+    s_lo = s2[:, 1]
+    g8 = w.reshape(bk // KN_GROUP, KN_GROUP // 2, bn)
+    hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
+        s_hi * (1.0 / 16.0)
+    ) + s_hi
+    lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
+        s_lo
+    ) - 7.0 * s_lo
+    return (
+        jnp.concatenate([hi, lo], axis=1)
+        .reshape(bk, bn)
+        .astype(compute_dtype)
+    )
+
+
 def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
     """Prefill variant: dequantize the tile once, one big MXU dot.
 
@@ -238,63 +300,8 @@ def _qmm_kernel_bigm(*refs, kind: str, compute_dtype):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = w_ref[:]
-    bn = w.shape[-1]
-    if kind == "q4g":
-        bk = w.shape[0] * 2
-        pg = 256 if bk % 256 == 0 else 128
-        gb = pg // 2
-        # one scale per 128-row block, stored duplicated at [BK//32, BN]
-        # (row 4b is block b's scale); pack group g's hi plane is block
-        # 2g, its lo plane block 2g+1 (pg=256) or both block g (pg=128)
-        sg = _load_scales(s_ref).reshape(bk // pg, pg // BLOCK_SIZE, 1, bn)
-        s_hi = sg[:, 0]  # [BK//pg, 1, BN]
-        s_lo = sg[:, 4] if pg == 256 else sg[:, 0]
-        g8 = w.reshape(bk // pg, gb, bn)
-        hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
-            s_hi * (1.0 / 16.0)
-        ) + s_hi
-        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
-            s_lo
-        ) - 7.0 * s_lo
-        w_deq = (
-            jnp.concatenate([hi, lo], axis=1)
-            .reshape(bk, bn)
-            .astype(compute_dtype)
-        )
-    elif kind == "q8":
-        bk = w.shape[0]
-        # [BK//32, BN] scales broadcast over each 32-row block (sublanes)
-        s3 = _load_scales(s_ref).reshape(bk // BLOCK_SIZE, 1, bn)
-        w_deq = (
-            (w.astype(jnp.float32)
-             .reshape(bk // BLOCK_SIZE, BLOCK_SIZE, bn) * s3)
-            .reshape(bk, bn)
-            .astype(compute_dtype)
-        )
-    else:
-        bk = w.shape[0] * 2
-        # biased-hi packing (codec._pack_q4_kn): AND-only int8 unpack.
-        # The offsets and the /16 fold into per-plane FMAs against
-        # prescaled block scales (dequant here is VPU-bound — every op
-        # per element is ~2% of the matmul):
-        #   hi plane (block 2g):  (hi16/16 + 1) * s  ==  hi16*(s/16) + s
-        #   lo plane (block 2g+1): (lo - 7) * s      ==  lo*s - 7s
-        s2 = _load_scales(s_ref).reshape(bk // KN_GROUP, 2, 1, bn)
-        s_hi = s2[:, 0]  # [BK//64, 1, BN] blocks covering the hi planes
-        s_lo = s2[:, 1]
-        g8 = w.reshape(bk // KN_GROUP, KN_GROUP // 2, bn)
-        hi = (g8 & jnp.asarray(-16, jnp.int8)).astype(jnp.float32) * (
-            s_hi * (1.0 / 16.0)
-        ) + s_hi
-        lo = (g8 & jnp.asarray(0x0F, jnp.int8)).astype(jnp.float32) * (
-            s_lo
-        ) - 7.0 * s_lo
-        w_deq = (
-            jnp.concatenate([hi, lo], axis=1)
-            .reshape(bk, bn)
-            .astype(compute_dtype)
-        )
+    w_deq = _dequant_tile(w_ref[:], _load_scales(s_ref), kind,
+                          compute_dtype)
     acc_ref[:] += _dot(x_ref[:], w_deq, ((1,), (0,)))
 
     @pl.when(k == n_k - 1)
