@@ -127,21 +127,35 @@ def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
     params = jax.block_until_ready(llama.convert_params(dense, policy))
     del dense
 
+    from tinyllama_tpu.runtime.engine import _ctx_bucket
+
     engine = Engine(cfg, policy, params, max_batch=batch)
     cache = engine.new_cache(batch)
     logits, cache, lens = engine.prefill(cache, [list(range(2, 34))] * batch)
-    step = engine._chunk_fn(chunk, True, 50)
+    # per-round fill-bucketed chunks, exactly as generate_batch
+    # dispatches them (round k decodes positions up to 33 + (k+1)*chunk)
+    start = int(lens.max())
+    rounds = 3
+    steps = [
+        engine._chunk_fn(
+            chunk, True, 50,
+            ctx_bound=_ctx_bucket(start + (k + 1) * chunk, engine.max_ctx),
+        )
+        for k in range(rounds + 1)
+    ]
     pos = jnp.asarray(lens, jnp.int32)
     key = jax.random.PRNGKey(0)
     args = (jnp.int32(-1), jnp.float32(1.0))
-    toks, done, logits, cache, pos, key = step(
+    toks, done, logits, cache, pos, key = steps[0](
         params, cache, logits, pos, key, *args
     )
     jax.block_until_ready(toks)
-    rounds, n = 3, 0
+    for st in steps[1:]:  # AOT-compile the later bounds outside the timing
+        st.lower(params, cache, logits, pos, key, *args).compile()
+    n = 0
     t0 = time.perf_counter()
-    for _ in range(rounds):
-        toks, done, logits, cache, pos, key = step(
+    for k in range(rounds):
+        toks, done, logits, cache, pos, key = steps[k + 1](
             params, cache, logits, pos, key, *args
         )
         n += toks.size

@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(greedy only; output identical to plain greedy)")
     p.add_argument("--max-ctx", type=int, default=None,
                    help="context window override")
+    p.add_argument("--sp", type=int, default=1, metavar="N",
+                   help="sequence-parallel prefill ways (parallel/sp.py):"
+                        " shard the prompt's T dim over N devices with"
+                        " ring attention; decode stays single-stream")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (shards weights/KV on a mesh)")
     p.add_argument("--tp-overlap", action="store_true",
@@ -214,6 +218,7 @@ def main(argv=None) -> int:
         tp=tp,
         paged=args.paged,
         tp_overlap=args.tp_overlap,
+        sp=args.sp,
     )
 
     tok_path = args.tokenizer or (

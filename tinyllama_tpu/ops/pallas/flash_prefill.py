@@ -338,19 +338,21 @@ def flash_decode_heads_attention(
 
 def _flash_staged_kernel(
     li_ref, npool_ref, ntail_ref, q_ref, k_ref, v_ref, sk_ref, sv_ref,
-    *rest, compute_dtype, Kh: int, G: int, bs: int,
+    *rest, compute_dtype, Kh: int, G: int, bs: int, R: int,
 ):
-    """Pool-tile walk + one staged-tail step over the monolithic cache.
+    """Pool-tile walk + one staged-tail step over the monolithic cache,
+    R batch rows per grid step.
 
-    Grid (B, n_s + 1) with ALL kv heads resident per step (a [Kh, bs, d]
-    slab + a static in-kernel head loop): steps s < n_s walk the
-    sequence's cache tiles up to the pool fill (clamped past it,
-    skipping their DMA), step s == n_s attends the chunk-local staging
-    tail (runtime/staging.py) and writes the output. Putting Kh on the
-    grid instead costs ~0.3 us of machinery per step on tiny work — at
-    B=16 that was 320 steps/layer and the majority of serving device
-    time. T == 1 decode only: every query row of a step shares one
-    position, so masks are row-independent.
+    Grid (B/R, n_s + 1) with ALL kv heads and R batch rows resident per
+    step (cache rows are batch-contiguous, so the R-row slab is ONE
+    block/DMA — unlike the paged kernel's per-row page specs): steps
+    s < n_s walk the rows' cache tiles up to the slowest row's pool
+    fill (clamped past it, skipping the DMA), step s == n_s attends the
+    chunk-local staging tail (runtime/staging.py) and writes the R
+    outputs. Grid machinery (~0.3 us/step) dominates the tiny per-row
+    work at decode, so fewer, fatter steps win. T == 1 decode only:
+    every query row of a step shares one position, so masks are
+    row-independent.
     """
     from tinyllama_tpu.ops.pallas.softmax_update import online_update
 
@@ -370,82 +372,101 @@ def _flash_staged_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    n_pool = npool_ref[b]
-
-    @pl.when((s < n_steps - 1) & (s * bs < n_pool))
+    @pl.when(s < n_steps - 1)
     def _():
-        key_pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        ok = key_pos < n_pool
-        for h in range(Kh):
-            rows = slice(h * G, (h + 1) * G)
-            online_update(
-                q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
-                None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
-                None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
-                ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
-            )
+        for r in range(R):
+            n_pool = npool_ref[b * R + r]
+
+            @pl.when(s * bs < n_pool)
+            def _(r=r, n_pool=n_pool):
+                key_pos = s * bs + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, bs), 1
+                )
+                ok = key_pos < n_pool
+                for h in range(Kh):
+                    online_update(
+                        q_ref[r, h].astype(compute_dtype),
+                        k_ref[r, h], v_ref[r, h],
+                        None if ks_ref is None
+                        else ks_ref[r, pl.ds(h, 1), :],
+                        None if vs_ref is None
+                        else vs_ref[r, pl.ds(h, 1), :],
+                        ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
+                        m_ref, l_ref, acc_ref, compute_dtype,
+                    )
 
     @pl.when(s == n_steps - 1)
     def _():
-        Cs = sk_ref.shape[1]
+        Cs = sk_ref.shape[2]
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, Cs), 1)
-        ok = slot < ntail_ref[b]
-        for h in range(Kh):
-            rows = slice(h * G, (h + 1) * G)
-            online_update(
-                q_ref[h].astype(compute_dtype), sk_ref[h], sv_ref[h],
-                None if sks_ref is None else sks_ref[pl.ds(h, 1), :],
-                None if svs_ref is None else svs_ref[pl.ds(h, 1), :],
-                ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
-            )
+        for r in range(R):
+            ok = slot < ntail_ref[b * R + r]
+            for h in range(Kh):
+                online_update(
+                    q_ref[r, h].astype(compute_dtype),
+                    sk_ref[r, h], sv_ref[r, h],
+                    None if sks_ref is None
+                    else sks_ref[r, pl.ds(h, 1), :],
+                    None if svs_ref is None
+                    else svs_ref[r, pl.ds(h, 1), :],
+                    ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
+                    m_ref, l_ref, acc_ref, compute_dtype,
+                )
         denom = l_ref[:, :1]
         denom = jnp.where(denom > 0.0, denom, 1.0)
-        out = (acc_ref[:] / denom).astype(o_ref.dtype)
-        for h in range(Kh):
-            o_ref[h] = out[h * G:(h + 1) * G]
+        o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(
+            o_ref.dtype
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "bound"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "bound", "rows"))
 def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
-                ntail, interpret, bound=None):
+                ntail, interpret, bound=None, rows=1):
     B, Kh, G, d = qg.shape
     S = ck.shape[3]
     Cs = sk.shape[3]
     compute_dtype = qg.dtype
     quant = ck_s is not None
+    R = rows
+    assert B % R == 0, (B, R)
 
     bs = _tile(S, 512)
     n_s = _bound_tiles(S, bs, bound)
-    grid = (B, n_s + 1)
+    grid = (B // R, n_s + 1)
 
     def _s_eff(b, s, npool):
         # clamp past-fill (and the tail step's) tile index to the last
-        # pool tile: the repeated block index skips its DMA entirely
-        return jnp.minimum(s, jnp.maximum(npool[b] - 1, 0) // bs)
+        # tile any of the step's R rows can see: the repeated block
+        # index skips its DMA entirely (faster rows mask in-kernel)
+        hi = npool[b * R]
+        for r in range(1, R):
+            hi = jnp.maximum(hi, npool[b * R + r])
+        return jnp.minimum(s, jnp.maximum(hi - 1, 0) // bs)
 
     pool_spec = pl.BlockSpec(
-        (None, None, Kh, bs, d),
+        (None, R, Kh, bs, d),
         lambda b, s, li, npool, ntail:
         (li[0], b, 0, _s_eff(b, s, npool), 0),
     )
     tail_spec = pl.BlockSpec(
-        (None, None, Kh, Cs, d),
+        (None, R, Kh, Cs, d),
         lambda b, s, li, npool, ntail: (li[0], b, 0, 0, 0),
     )
     in_specs = [
-        pl.BlockSpec((None, Kh, G, d),
+        pl.BlockSpec((R, Kh, G, d),
                      lambda b, s, li, npool, ntail: (b, 0, 0, 0)),
         pool_spec, pool_spec, tail_spec, tail_spec,
     ]
     operands = [qg, ck, cv, sk, sv]
     if quant:
         scale_spec = pl.BlockSpec(
-            (None, None, Kh, bs),
+            (None, R, Kh, bs),
             lambda b, s, li, npool, ntail:
             (li[0], b, 0, _s_eff(b, s, npool)),
         )
         tail_scale_spec = pl.BlockSpec(
-            (None, None, Kh, Cs),
+            (None, R, Kh, Cs),
             lambda b, s, li, npool, ntail: (li[0], b, 0, 0),
         )
         in_specs += [scale_spec, scale_spec, tail_scale_spec,
@@ -454,20 +475,20 @@ def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
 
     kernel = functools.partial(
         _flash_staged_kernel, compute_dtype=compute_dtype, Kh=Kh, G=G,
-        bs=bs,
+        bs=bs, R=R,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (None, Kh, G, d),
+            (R, Kh, G, d),
             lambda b, s, li, npool, ntail: (b, 0, 0, 0),
         ),
         scratch_shapes=[
-            pltpu.VMEM((Kh * G, 128), jnp.float32),
-            pltpu.VMEM((Kh * G, 128), jnp.float32),
-            pltpu.VMEM((Kh * G, d), jnp.float32),
+            pltpu.VMEM((R * Kh * G, 128), jnp.float32),
+            pltpu.VMEM((R * Kh * G, 128), jnp.float32),
+            pltpu.VMEM((R * Kh * G, d), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -504,13 +525,17 @@ def flash_staged_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     qg = q.reshape(B, Kh, H // Kh, d)
+    # batch rows per grid step: the per-row work is tiny, so grid
+    # machinery dominates — merge as many rows as divide B (capped:
+    # the body unrolls R * Kh head updates)
+    rows = next(r for r in (4, 2, 1) if B % r == 0)
     out = _run_staged(
         qg, pool.k, pool.v, st.sk, st.sv,
         pool.k_scale, pool.v_scale, st.sk_scale, st.sv_scale,
         jnp.reshape(li, (1,)).astype(jnp.int32),
         st.base.astype(jnp.int32),
         (pos - st.base + 1).astype(jnp.int32),
-        interpret, ctx_bound,
+        interpret, ctx_bound, rows,
     )
     return out.reshape(B, 1, H, d).astype(q.dtype)
 

@@ -111,6 +111,7 @@ class Engine:
         paged: bool = False,
         tp_overlap: bool = False,
         staged: bool = True,
+        sp: int = 1,
     ):
         self.cfg = cfg
         self.policy = policy
@@ -131,6 +132,17 @@ class Engine:
         self.cache_sharding = cache_sharding
         self.tp = tp
         self.mesh = mesh
+        #: sequence-parallel prefill ways (parallel/sp.py): single-prompt
+        #: prefills shard the prompt's T dim over `sp` devices with ring
+        #: attention, then hand the K/V off into the ordinary cache —
+        #: decode is untouched. Long-context prefill acceleration; needs
+        #: tp == 1 (combining both is a different mesh layout).
+        self.sp = sp
+        if sp > 1:
+            assert tp == 1, "sp (sequence-parallel prefill) requires tp=1"
+            from tinyllama_tpu.parallel.mesh import make_mesh
+
+            self.sp_mesh = make_mesh(tp=1, dp=sp)
         self.tp_overlap = tp if (tp > 1 and tp_overlap) else 0
         if tp > 1:
             from tinyllama_tpu.parallel import tp as tpmod
@@ -292,12 +304,27 @@ class Engine:
                 f"Number of prompt tokens ({int(lens.max())}) exceeds maximum "
                 f"ctx size ({self.max_ctx})"
             )
+        from tinyllama_tpu.runtime.paged import PagedKVCache
+
+        if (
+            self.sp > 1 and B == 1
+            and not isinstance(cache, PagedKVCache)
+        ):
+            # sequence-parallel prefill (parallel/sp.py): T shards over
+            # the sp mesh with ring attention; K/V lands in this cache
+            from tinyllama_tpu.parallel.sp import sp_prefill_into_cache
+
+            logits, cache = sp_prefill_into_cache(
+                self._fwd_cfg, self.policy, self.params, prompts[0],
+                self.rope_tables, self.sp_mesh, cache,
+                use_pallas=self.use_pallas,
+            )
+            return logits, cache, lens
+
         T = _bucket(int(lens.max()), self.max_ctx)
         toks = np.zeros((B, T), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : len(p)] = p
-        from tinyllama_tpu.runtime.paged import PagedKVCache
-
         step = self._step_fn(T, paged=isinstance(cache, PagedKVCache))
         logits, cache = step(
             self.params,
