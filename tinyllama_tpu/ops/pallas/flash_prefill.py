@@ -230,6 +230,18 @@ def _decode_heads_kernel(
             o_ref[h] = out[h * G:(h + 1) * G]
 
 
+def _bound_bs(S: int, bound: int | None) -> int:
+    """Key-tile width for the bounded batched-decode walks: the Pallas
+    pipeline always DMAs whole [.., bs, d] tiles (the fill-clamp only
+    *repeats* indices), so at serving fills far below max_ctx a 512-wide
+    tile streams mostly dead rows per batch row per layer (measured
+    ~40 us/layer of the B=16 step). Track the bound: <= 4-5 pool tiles
+    keeps machinery flat while tile waste stays <= bound/4. b1's
+    unbounded walk keeps the measured-best 512."""
+    cap = 512 if bound is None else max(128, min(512, bound // 4))
+    return _tile(S, cap)
+
+
 def _bound_tiles(S: int, bs: int, bound: int | None) -> int:
     """Key-walk grid length: tiles covering `bound` positions (or all of
     S). The clamped index maps already *skip the DMA* of past-fill grid
@@ -253,7 +265,7 @@ def _run_decode_heads(qg, ck, cv, ck_s, cv_s, li, pos, interpret,
     compute_dtype = qg.dtype
     quant = ck_s is not None
 
-    bs = _tile(S, 512)
+    bs = _bound_bs(S, bound) if B > 1 else _tile(S, 512)
     n_s = _bound_tiles(S, bs, bound)
     grid = (B, n_s)
 
@@ -431,7 +443,7 @@ def _run_staged(qg, ck, cv, sk, sv, ck_s, cv_s, sk_s, sv_s, li, npool,
     R = rows
     assert B % R == 0, (B, R)
 
-    bs = _tile(S, 512)
+    bs = _bound_bs(S, bound)
     n_s = _bound_tiles(S, bs, bound)
     grid = (B // R, n_s + 1)
 
