@@ -2,11 +2,16 @@
 
 Every decode-attention kernel accepts a host-static `ctx_bound` (a
 promise that every attended position is < ctx_bound) that shrinks its
-key-tile / page-walk grid from max_ctx to the live fill bucket — pure
-grid-machinery savings (the skipped steps never DMA'd anything). Output
-must be bit-identical to the unbounded kernel for every bound that
-covers the fill, and the bounded end-to-end chunked paths must match
-the unbounded ones token for token.
+key-tile / page-walk grid from max_ctx to the live fill bucket.
+
+Numerics contract: the paged kernels keep a fixed PAGE_SIZE tile, so a
+bound is pure grid-machinery savings and output is BIT-identical. The
+monolithic kernels additionally shrink the key tile with the bound
+(`_bound_bs`: 512 unbounded -> max(128, bound // 4)) so the walk cost
+tracks fill — a measured perf win — which splits the online-softmax
+accumulation into more partial sums in a different order. Those paths
+are asserted to a few f32 ulps instead (observed max |delta| ~3e-8);
+the end-to-end chunked paths must still match token for token.
 """
 
 import jax
@@ -97,7 +102,11 @@ def test_decode_heads_bounded(bound):
     got = flash_decode_heads_attention(
         q, cache, jnp.int32(0), pos, interpret=True, ctx_bound=bound
     )
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # _bound_bs shrinks the key tile (512 -> 128) under a bound, which
+    # reorders the online-softmax partial sums: ulp-level drift only.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=3e-7
+    )
 
 
 @pytest.mark.parametrize("bound", [256, 512])
@@ -129,7 +138,15 @@ def test_staged_bounded(kind):
     )
     want = fn(q, st, li, pos, interpret=True)
     got = fn(q, st, li, pos, interpret=True, ctx_bound=256)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    if kind == "paged":
+        # fixed PAGE_SIZE tile: a bound only trims the page walk
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    else:
+        # monolithic staged shrinks the pool tile via _bound_bs: the
+        # online-softmax accumulation reorders (ulp-level drift only)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=3e-7
+        )
 
 
 def test_paged_view_bounded():

@@ -86,6 +86,55 @@ def test_ttft_recorded(engine):
     assert req.finished_s >= req.first_token_s >= req.submitted_s
 
 
+def test_insert_compile_variants_keyed_on_bucket_only():
+    """_insert_logits/_insert_slots must compile one variant per
+    admission BUCKET (log2(B) total), never per admitted count: the
+    walk covers the full bucket and unused slot entries alias slots[0]
+    (reverse order ⇒ the real row 0 lands last). Admitting 3 then 4
+    requests at bucket 4 must hit the same executable, and the dummy
+    rows must never leak into a non-admitted slot."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinyllama_tpu.runtime.kvcache import init_cache
+    from tinyllama_tpu.runtime.scheduler import _insert_logits, _insert_slots
+
+    B, V = 4, 8
+    state0 = jnp.arange(B * V, dtype=jnp.float32).reshape(B, V)
+    rows = -(jnp.arange(4 * V, dtype=jnp.float32).reshape(4, V) + 1.0)
+
+    before = _insert_logits._cache_size()
+    # take=3 into free slots [1, 2, 3]; dummy bucket entry aliases 1
+    got3 = _insert_logits(state0, rows, jnp.asarray([1, 2, 3, 1], jnp.int32))
+    got3 = np.asarray(got3)
+    np.testing.assert_array_equal(got3[0], np.arange(V))  # slot 0 untouched
+    for i, slot in enumerate([1, 2, 3]):
+        np.testing.assert_array_equal(got3[slot], np.asarray(rows[i]))
+    # take=4 at the same bucket: same executable, no recompile
+    state0 = jnp.arange(B * V, dtype=jnp.float32).reshape(B, V)
+    _insert_logits(state0, rows, jnp.asarray([0, 1, 2, 3], jnp.int32))
+    assert _insert_logits._cache_size() - before == 1
+
+    cache = init_cache(CFG, B, "f32", 16)
+    batch = init_cache(CFG, 4, "f32", 16)
+    batch = type(batch)(
+        k=jnp.ones_like(batch.k), v=2 * jnp.ones_like(batch.v),
+        k_scale=batch.k_scale, v_scale=batch.v_scale,
+    )
+    before = _insert_slots._cache_size()
+    cache3, _ = _insert_slots(
+        cache, jnp.zeros((B, V)), batch, rows,
+        jnp.asarray([1, 2, 3, 1], jnp.int32),
+    )
+    assert float(jnp.abs(cache3.k[:, 0]).max()) == 0.0  # slot 0 untouched
+    assert float(cache3.k[:, 1].min()) == 1.0
+    cache4, _ = _insert_slots(
+        init_cache(CFG, B, "f32", 16), jnp.zeros((B, V)), batch, rows,
+        jnp.asarray([0, 1, 2, 3], jnp.int32),
+    )
+    assert _insert_slots._cache_size() - before == 1
+
+
 def test_scheduler_over_tp_engine():
     """ContinuousBatcher on a tensor-parallel Engine: the batched chunk
     runs under shard_map; outputs must match the single-device engine."""

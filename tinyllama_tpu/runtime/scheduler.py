@@ -78,38 +78,48 @@ def _scatter_rows(logits, logits_rows, idx):
     return logits.at[idx].set(logits_rows)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("take",))
+@partial(jax.jit, donate_argnums=(0,))
 def _insert_logits(
     logits_state: jnp.ndarray,  # [B, V]
     row_logits: jnp.ndarray,  # [bucket, V] admission logits
-    slots: jnp.ndarray,  # [bucket] int32 (entries >= take unused)
-    take: int,
+    slots: jnp.ndarray,  # [bucket] int32 (entries past the admitted set
+    #                        alias slots[0] — see reverse-walk note)
 ):
     """Paged mode: only the logits rows move — the admission prefill
     already wrote each request's K/V into its own pool pages. All
     admitted rows land in ONE dispatch: an eager per-row insert loop
     costs a ~3 ms host round-trip per row on a tunneled chip (measured
-    ~0.5 s/wave at 32 slots — half the serving wall)."""
-    for i in range(take):
+    ~0.5 s/wave at 32 slots — half the serving wall).
+
+    The walk always covers the FULL bucket so compile variants key on
+    the bucket shape only (log2(B) total), never on how many rows were
+    actually admitted. Dummy entries (index >= the admitted count)
+    alias slots[0]; the walk runs in REVERSE so every dummy write lands
+    before the real row-0 write overwrites it."""
+    bucket = row_logits.shape[0]
+    for i in range(bucket - 1, -1, -1):
         logits_state = jax.lax.dynamic_update_slice(
             logits_state, row_logits[i : i + 1], (slots[i], jnp.int32(0))
         )
     return logits_state
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("take",))
+@partial(jax.jit, donate_argnums=(0, 1))
 def _insert_slots(
     cache: KVCache,
     logits_state: jnp.ndarray,  # [B, V]
     batch_cache: KVCache,  # admission cache (bucket rows; NOT donated)
     row_logits: jnp.ndarray,  # [bucket, V]
-    slots: jnp.ndarray,  # [bucket] int32 (entries >= take unused)
-    take: int,
+    slots: jnp.ndarray,  # [bucket] int32 (entries past the admitted set
+    #                        alias slots[0] — see reverse-walk note)
 ):
-    """Scatter `take` prefilled requests into their batch slots in one
+    """Scatter the bucket's prefilled rows into their batch slots in one
     dispatch (chained per-row DUS — a batched scatter would copy the
-    whole cache slab; `take` is already power-of-two bucketed upstream,
-    so at most log2(B) variants compile)."""
+    whole cache slab). The walk always covers the FULL bucket so at most
+    log2(B) variants compile regardless of the admitted count; dummy
+    entries alias slots[0] and the reverse walk guarantees the real
+    row 0 lands last (dummy rows are BOS-only prefill garbage — they
+    must never survive in a live slot)."""
 
     def put(buf, rows, i):
         if buf is None:
@@ -119,7 +129,8 @@ def _insert_slots(
             buf, rows[:, i : i + 1].astype(buf.dtype), start
         )
 
-    for i in range(take):
+    bucket = row_logits.shape[0]
+    for i in range(bucket - 1, -1, -1):
         cache = KVCache(
             k=put(cache.k, batch_cache.k, i),
             v=put(cache.v, batch_cache.v, i),
@@ -334,8 +345,10 @@ class ContinuousBatcher:
     def _insert_admitted(self, admitted) -> None:
         if admitted[0] == "paged":
             _, free, reqs, needs, pages_list, logits, lens = admitted
-            take = len(reqs)
-            slots = np.zeros((logits.shape[0],), np.int32)
+            # bucket entries past the admitted set alias slot free[0]:
+            # the insert walks the bucket in reverse, so every dummy
+            # (BOS-only) row lands there before the real row 0 does
+            slots = np.full((logits.shape[0],), free[0], np.int32)
             for i, (slot, req) in enumerate(zip(free, reqs)):
                 self.slot_pages[slot] = pages_list[i]
                 self.slot_reserved[slot] = needs[i]
@@ -345,19 +358,18 @@ class ContinuousBatcher:
                 self.running[slot] = req
                 slots[i] = slot
             self.logits = _insert_logits(
-                self.logits, logits, jnp.asarray(slots), take
+                self.logits, logits, jnp.asarray(slots)
             )
             return
         free, reqs, logits, batch_cache, lens, bucket = admitted
-        take = len(reqs)
-        slots = np.zeros((bucket,), np.int32)
+        slots = np.full((bucket,), free[0], np.int32)
         for i, (slot, req) in enumerate(zip(free, reqs)):
             self.pos_np[slot] = int(lens[i])
             self.running[slot] = req
             slots[i] = slot
         self.cache, self.logits = _insert_slots(
             self.cache, self.logits, batch_cache, logits,
-            jnp.asarray(slots), take,
+            jnp.asarray(slots),
         )
         self._admit_caches[bucket] = batch_cache
 
