@@ -77,3 +77,60 @@ def test_sp_generate_token_identical(dense_params, plen, policy):
     want, _ = Engine(CFG, policy, params).generate(prompt, gen)
     got, _ = Engine(CFG, policy, params, sp=8).generate(prompt, gen)
     assert got == want
+
+
+@pytest.mark.parametrize("mode", ["paged", "sptp", "sptp_paged"])
+def test_sp_generalized_token_identical(dense_params, mode):
+    """Round-5 SP generalization: the paged handoff (_write_kv_paged),
+    the sp x tp composed mesh (ring attention over local heads + two
+    psums per block, decode replicated over the sp axis), and both at
+    once must all stay token-identical to the single-device Engine."""
+    policy = DtypePolicy("q8", "f32", "i8")
+    params = llama.convert_params(dense_params, policy)
+    gen = GenerationConfig(n_predict=52, greedy=True, eos_token=-1,
+                           chunk_size=4)
+    prompt = [2 + (i % 40) for i in range(41)]
+    want, _ = Engine(CFG, policy, params).generate(prompt, gen)
+
+    kw = dict(  # tp=2: tiny-test has 2 kv heads
+        paged=dict(sp=8, paged=True),
+        sptp=dict(sp=4, tp=2),
+        sptp_paged=dict(sp=4, tp=2, paged=True),
+    )[mode]
+    got, _ = Engine(CFG, policy, params, **kw).generate(prompt, gen)
+    assert got == want
+
+
+def test_scheduler_admits_long_prompt_via_sp(dense_params):
+    """A near-max_ctx prompt through the ContinuousBatcher on an
+    Engine(sp=8): the long prompt must be admitted ALONE (B == 1, so
+    the sequence-parallel prefill path fires) without disturbing the
+    short requests batched around it, and every output must match the
+    dedicated single-engine run."""
+    from tinyllama_tpu.runtime.scheduler import ContinuousBatcher
+
+    policy = DtypePolicy("q8", "f32", "i8")
+    params = llama.convert_params(dense_params, policy)
+    gen = GenerationConfig(n_predict=8, greedy=True, eos_token=-1,
+                           chunk_size=4)
+    long_prompt = [2 + (i % 40) for i in range(CFG.max_ctx - 16)]  # 240
+    shorts = [[3, 7, 1], [9, 2, 4, 8]]
+
+    def gen_for(p):  # dedicated-run budget: exactly 8 new tokens
+        return GenerationConfig(n_predict=len(p) + 8, greedy=True,
+                                eos_token=-1, chunk_size=4)
+
+    single = Engine(CFG, policy, params)
+    want_long, _ = single.generate(long_prompt, gen_for(long_prompt))
+    want_short = [single.generate(p, gen_for(p))[0] for p in shorts]
+
+    eng = Engine(CFG, policy, params, max_batch=2, sp=8, paged=True)
+    sched = ContinuousBatcher(eng, gen, max_batch=2, paged=True,
+                              sp_admit_threshold=128)
+    ids = [sched.submit(shorts[0], max_new=8),
+           sched.submit(long_prompt, max_new=8),
+           sched.submit(shorts[1], max_new=8)]
+    res = sched.run()
+    assert res[ids[1]].output == want_long
+    assert res[ids[0]].output == want_short[0]
+    assert res[ids[2]].output == want_short[1]

@@ -43,7 +43,7 @@ from tinyllama_tpu.parallel.ring import ring_gqa_attention
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "policy", "mesh", "axis")
+    jax.jit, static_argnames=("cfg", "policy", "mesh", "axis", "tp_axis")
 )
 def seq_parallel_prefill(
     cfg: ModelConfig,
@@ -53,13 +53,24 @@ def seq_parallel_prefill(
     rope_tables: tuple[jnp.ndarray, jnp.ndarray],
     mesh: Mesh,
     axis: str = DATA_AXIS,
+    tp_axis: str | None = None,
 ):
     """Run the full model over a T-sharded prompt (B == 1, pos 0).
 
+    ``cfg`` is the PER-SHARD architecture: the global one at tp == 1, or
+    `parallel.tp.local_config`'s heads/ffn division when ``tp_axis``
+    names a second (model) mesh axis — then `params` must already be
+    tp-permuted shard-major and the block runs the Megatron-minimum two
+    psums (after wo and w_down) over `tp_axis` while ring attention
+    rotates KV over the sequence axis with the shard's LOCAL heads (the
+    two parallelisms compose orthogonally: TP splits heads, SP splits
+    each head's positions).
+
     Returns (hidden_last [1, D] f32 post-final-norm — replicated,
-    k_all, v_all [L, 1, Kh, T, d] activation dtype — T-sharded global
-    arrays). Padding rows past the true prompt are causally inert
-    (later positions) and their cache rows sit beyond the decode fill.
+    k_all, v_all [L, 1, Kh, T, d] activation dtype — T-sharded (and
+    Kh-sharded under tp) global arrays). Padding rows past the true
+    prompt are causally inert (later positions) and their cache rows
+    sit beyond the decode fill.
     """
     B, T = tokens.shape
     assert B == 1, "sequence-parallel prefill is a single-stream path"
@@ -71,9 +82,8 @@ def seq_parallel_prefill(
     q_pos = jnp.arange(T, dtype=jnp.int32)[None]
     cos_g, sin_g = gather_rope(q_pos, cos, sin)
 
-    layers = params["layers"]
-
-    def shard_fn(tokens_l, cos_l, sin_l):
+    def shard_fn(params, tokens_l, cos_l, sin_l):
+        layers = params["layers"]
         x = embedding_lookup(tokens_l, params["embed"], adt)
 
         def body(x, lp):
@@ -87,10 +97,13 @@ def seq_parallel_prefill(
             q = apply_rope_gathered(q, cos_l, sin_l)
             k = apply_rope_gathered(k, cos_l, sin_l)
             attn = ring_gqa_attention(q, k, v, axis_name=axis)
-            x = x + linear(
+            o = linear(
                 attn.reshape(1, Tl, H * d).astype(x.dtype), lp["wo"],
                 use_pallas=False,
             )
+            if tp_axis is not None:  # row-parallel wo: reduce shards
+                o = jax.lax.psum(o, tp_axis)
+            x = x + o
             h = rms_norm(x, lp["ffn_norm"], cfg.norm_eps,
                          cfg.norm_eps_inside_sqrt)
             gu = linear(h, lp["w_gateup"], use_pallas=False)
@@ -98,7 +111,10 @@ def seq_parallel_prefill(
             inner = jax.nn.silu(gate.astype(jnp.float32)).astype(
                 x.dtype
             ) * up
-            x = x + linear(inner, lp["w_down"], use_pallas=False)
+            dn = linear(inner, lp["w_down"], use_pallas=False)
+            if tp_axis is not None:  # row-parallel w_down
+                dn = jax.lax.psum(dn, tp_axis)
+            x = x + dn
             # this layer's local K/V blocks ride the scan as stacked ys
             return x, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
@@ -120,23 +136,32 @@ def seq_parallel_prefill(
         )  # [sp, 1, D] — every shard's last row, replicated
         return x, k_all, v_all, hidden_by_shard
 
+    if tp_axis is None:
+        pspecs = jax.tree.map(lambda _: P(), params)
+        kv_spec = P(None, None, None, axis, None)
+    else:
+        from tinyllama_tpu.parallel.tp import param_partition_specs
+
+        pspecs = param_partition_specs(params)
+        kv_spec = P(None, None, tp_axis, axis, None)
     fn = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
+            pspecs,
             P(None, axis),
             P(None, axis, None),
             P(None, axis, None),
         ),
         out_specs=(
             P(None, axis, None),
-            P(None, None, None, axis, None),
-            P(None, None, None, axis, None),
+            kv_spec,
+            kv_spec,
             P(),
         ),
         check_vma=False,
     )
-    hidden, k_all, v_all, hidden_by_shard = fn(tokens, cos_g, sin_g)
+    hidden, k_all, v_all, hidden_by_shard = fn(params, tokens, cos_g, sin_g)
     return hidden, k_all, v_all, hidden_by_shard
 
 
@@ -147,18 +172,25 @@ def sp_prefill_into_cache(
     prompt: list[int],
     rope_tables,
     mesh: Mesh,
-    cache,  # monolithic KVCache (B == 1), written in place (donated)
+    cache,  # KVCache OR PagedKVCache (B == 1), written in place (donated)
     axis: str = DATA_AXIS,
     use_pallas: bool = False,
+    tp_axis: str | None = None,
 ):
     """Sequence-parallel prefill of one prompt + KV handoff into the
-    ordinary monolithic cache. Returns (logits [1, V] f32, cache).
+    decode cache (monolithic or paged). Returns (logits [1, V] f32,
+    cache). ``cfg`` is the per-shard architecture (local heads under tp,
+    see seq_parallel_prefill).
 
     The prompt is padded to a multiple of (sp * 8) local rows; pad rows
     are causally downstream of every prompt row and land at cache
     positions >= len(prompt), which decode (fill = len(prompt)) never
-    attends.
+    attends. In a paged cache, pad positions past the prompt's
+    allocated pages fall through unmapped table entries onto the
+    scratch page (0) — harmless by the pool's design.
     """
+    from tinyllama_tpu.runtime.paged import PagedKVCache
+
     sp = mesh.shape[axis]
     n = len(prompt)
     T = -(-n // (sp * 8)) * (sp * 8)
@@ -166,7 +198,7 @@ def sp_prefill_into_cache(
         [prompt + [0] * (T - n)], jnp.int32
     )
     hidden, k_all, v_all, hidden_by_shard = seq_parallel_prefill(
-        cfg, policy, params, toks, rope_tables, mesh, axis,
+        cfg, policy, params, toks, rope_tables, mesh, axis, tp_axis,
     )
     Tl = T // sp
     owner, row = divmod(n - 1, Tl)
@@ -176,7 +208,10 @@ def sp_prefill_into_cache(
         h_last = hidden[:, n - 1].astype(jnp.float32)  # sharded gather
     logits = llama.lm_head_logits(params, h_last, use_pallas, policy.aq8)
 
-    cache = _write_kv(cache, k_all, v_all, n)
+    writer = (
+        _write_kv_paged if isinstance(cache, PagedKVCache) else _write_kv
+    )
+    cache = writer(cache, k_all, v_all, jnp.int32(n))
     return logits, cache
 
 
@@ -190,6 +225,26 @@ def _write_kv(cache, k_all, v_all, n_prompt):
     pos0 = jnp.zeros((1,), jnp.int32)
     for li in range(L):
         cache = update_cache_at_layer(
+            cache, jnp.int32(li),
+            k_all[li].transpose(0, 2, 1, 3),  # [1, T, Kh, d]
+            v_all[li].transpose(0, 2, 1, 3),
+            pos0,
+        )
+    return cache
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_kv_paged(cache, k_all, v_all, n_prompt):
+    """Paged handoff twin of _write_kv: each layer's T-sharded K/V lands
+    in the row's pages through its table (update_paged_at_layer's whole-
+    page writes; pad rows past the prompt's last mapped page fall onto
+    the scratch page)."""
+    from tinyllama_tpu.runtime.paged import update_paged_at_layer
+
+    L = k_all.shape[0]
+    pos0 = jnp.zeros((1,), jnp.int32)
+    for li in range(L):
+        cache = update_paged_at_layer(
             cache, jnp.int32(li),
             k_all[li].transpose(0, 2, 1, 3),  # [1, T, Kh, d]
             v_all[li].transpose(0, 2, 1, 3),

@@ -134,12 +134,14 @@ class Engine:
         self.mesh = mesh
         #: sequence-parallel prefill ways (parallel/sp.py): single-prompt
         #: prefills shard the prompt's T dim over `sp` devices with ring
-        #: attention, then hand the K/V off into the ordinary cache —
-        #: decode is untouched. Long-context prefill acceleration; needs
-        #: tp == 1 (combining both is a different mesh layout).
+        #: attention, then hand the K/V off into the decode cache
+        #: (monolithic or paged) — decode is untouched. Composes with tp:
+        #: the mesh becomes (data=sp, model=tp); prefill shards T on the
+        #: data axis while decode replicates over it (sp devices are for
+        #: long-prompt latency; batch-parallel decode wants dp replicas
+        #: behind the router instead).
         self.sp = sp
-        if sp > 1:
-            assert tp == 1, "sp (sequence-parallel prefill) requires tp=1"
+        if sp > 1 and tp == 1:
             from tinyllama_tpu.parallel.mesh import make_mesh
 
             self.sp_mesh = make_mesh(tp=1, dp=sp)
@@ -149,14 +151,18 @@ class Engine:
             from tinyllama_tpu.parallel.mesh import batch_axes, make_mesh
 
             if self.mesh is None:
-                self.mesh = make_mesh(tp=tp)
+                self.mesh = make_mesh(tp=tp, dp=sp)
+            if sp > 1:
+                self.sp_mesh = self.mesh
             self.params = tpmod.tp_permute_params(self.params, cfg, tp)
             if self.tp_overlap:
                 # chunk-stack wo/w_down for the ring all-reduce
                 self.params = tpmod.tp_chunk_row_parallel(self.params, tp)
             self._pspecs = tpmod.param_partition_specs(self.params)
             self.params = tpmod.place(self.mesh, self.params, self._pspecs)
-            self._batch_axes = batch_axes(self.mesh)
+            # with sp the data axis carries sequence shards during
+            # prefill; decode replicates batch over it (None spec)
+            self._batch_axes = None if sp > 1 else batch_axes(self.mesh)
             self._cspecs = tpmod.cache_specs(
                 policy.kv_dtype == "i8", self._batch_axes
             )
@@ -306,18 +312,21 @@ class Engine:
             )
         from tinyllama_tpu.runtime.paged import PagedKVCache
 
-        if (
-            self.sp > 1 and B == 1
-            and not isinstance(cache, PagedKVCache)
-        ):
+        if self.sp > 1 and B == 1:
             # sequence-parallel prefill (parallel/sp.py): T shards over
             # the sp mesh with ring attention; K/V lands in this cache
+            # (monolithic or paged; Kh additionally sharded under tp)
             from tinyllama_tpu.parallel.sp import sp_prefill_into_cache
 
+            assert not self.tp_overlap, (
+                "sp prefill scans [L]-stacked layers; --tp-overlap "
+                "chunk-stacks wo/w_down to [L*tp]"
+            )
             logits, cache = sp_prefill_into_cache(
                 self._fwd_cfg, self.policy, self.params, prompts[0],
                 self.rope_tables, self.sp_mesh, cache,
                 use_pallas=self.use_pallas,
+                tp_axis=self._tp_axis,
             )
             return logits, cache, lens
 

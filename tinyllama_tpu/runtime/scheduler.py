@@ -157,6 +157,7 @@ class ContinuousBatcher:
         downshift: bool | None = None,
         min_bucket: int = 1,
         downshift_patience: int = 1,
+        sp_admit_threshold: int | None = None,
     ):
         self.engine = engine
         self.gen = gen or GenerationConfig()
@@ -169,6 +170,14 @@ class ContinuousBatcher:
         if downshift and not (paged and engine.tp == 1):
             raise ValueError("bucket downshift requires paged=True, tp=1")
         self.downshift = downshift
+        #: prompts at least this long are admitted ALONE so the engine's
+        #: B == 1 sequence-parallel prefill path fires (Engine(sp=N)
+        #: shards the prompt's T dim over the mesh); shorter prompts
+        #: batch into admission buckets as usual. Default: on whenever
+        #: the engine is sequence-parallel.
+        if sp_admit_threshold is None and engine.sp > 1:
+            sp_admit_threshold = 1024
+        self.sp_admit_threshold = sp_admit_threshold
         self.min_bucket = max(1, min(min_bucket, self.B))
         self._patience = max(1, downshift_patience)
         self._bucket = self.B
@@ -292,6 +301,7 @@ class ContinuousBatcher:
         if self.paged:
             return self._admit_prefill_paged(free)
         take = min(len(free), len(self.queue))
+        take = self._sp_take(take)
         bucket = 1
         while bucket < take:
             bucket *= 2
@@ -305,6 +315,18 @@ class ContinuousBatcher:
         logits, cache, lens = self.engine.prefill(cache, prompts)
         return free, reqs, logits, cache, lens, bucket
 
+    def _sp_take(self, take: int) -> int:
+        """Clamp an admission's size so any long prompt (>= the SP
+        threshold) is admitted alone: the head of the queue if it is
+        long, else stop just before the first long prompt so the next
+        wave admits it by itself."""
+        if self.sp_admit_threshold is None:
+            return take
+        for i in range(take):
+            if len(self.queue[i].prompt) >= self.sp_admit_threshold:
+                return max(1, i)
+        return take
+
     def _admit_prefill_paged(self, free: list[int]):
         """Paged admission: reserve each request's worst-case page count
         (prompt + max_new + one chunk of parked overrun — lazy growth can
@@ -315,6 +337,12 @@ class ContinuousBatcher:
         needs: list[int] = []
         while self.queue and len(reqs) < len(free):
             req = self.queue[0]
+            long = (
+                self.sp_admit_threshold is not None
+                and len(req.prompt) >= self.sp_admit_threshold
+            )
+            if long and reqs:
+                break  # long prompt admits ALONE next wave (SP prefill)
             need = -(-self._worst_case_tokens(req) // self.P)
             if not self.alloc.can_reserve(need):
                 break  # FIFO admission control: wait for pages to free
@@ -322,6 +350,8 @@ class ContinuousBatcher:
             self.queue.pop(0)
             reqs.append(req)
             needs.append(need)
+            if long:
+                break  # B == 1 admission routes through Engine's SP path
         if not reqs:
             return None
         take = len(reqs)

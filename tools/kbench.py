@@ -817,6 +817,49 @@ def bench_sweep(args) -> int:
             o_ref[:] += acc
             return
 
+        if variant in ("g256presum", "g256dots", "g256fma1"):
+            # g256 ABLATIONS (wrong values, cost isolation):
+            #   g256presum - x window sums replaced by constants: models
+            #                hoisting the [M, K//128] sums out of the
+            #                kernel (they are x-only and recomputed at
+            #                every N grid step today)
+            #   g256fma1   - presum + the two scale applications fused
+            #                into ONE FMA per group (models folding the
+            #                hi/16 prescale into the x window instead)
+            #   g256dots   - the two dots + one accumulate only: the
+            #                floor of the 2-full-depth-dots structure
+            p = w_ref[:]
+            x = x_ref[:]
+            s = s_ref[:]
+            bn = s.shape[-1]
+            acc = jnp.zeros(o_ref.shape, jnp.float32)
+            dims = (((1,), (0,)), ((), ()))
+            m_hi = jnp.asarray(-16, jnp.int8)
+            m_lo = jnp.asarray(0x0F, jnp.int8)
+            G = 256
+            gb = G // 2
+            kone = jnp.float32(1.0)
+            for g in range(p.shape[0] // gb):
+                rows = p[g * gb:(g + 1) * gb]
+                hi16 = (rows & m_hi).astype(x.dtype)
+                lo = (rows & m_lo).astype(x.dtype)
+                xh = x[:, g * G: g * G + gb]
+                xl = x[:, g * G + gb:(g + 1) * G]
+                ph = jax.lax.dot_general(
+                    xh, hi16, dims, preferred_element_type=jnp.float32)
+                plo = jax.lax.dot_general(
+                    xl, lo, dims, preferred_element_type=jnp.float32)
+                if variant == "g256dots":
+                    acc += ph + plo
+                elif variant == "g256fma1":
+                    acc += (ph + plo + kone) * s[4 * g].reshape(1, bn)
+                else:  # g256presum
+                    acc += (ph * (1.0 / 16.0) + kone) * s[4 * g].reshape(
+                        1, bn)
+                    acc += (plo - 7.0 * kone) * s[4 * g + 2].reshape(1, bn)
+            o_ref[:] += acc
+            return
+
         if variant == "dqbias":
             # production bigm body (AND-only unpack, FMA-folded scales,
             # one depth-bk bf16 dot) evaluated at small m: is tile
