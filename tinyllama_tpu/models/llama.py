@@ -388,7 +388,13 @@ def forward(
             ctx_bound=ctx_bound,
         )
 
-    if scanned_ws or B * T > 1:
+    # TINYLLAMA_FORI=1 forces the fori_loop walk at any batch — a
+    # measurement knob for the serving regression documented below
+    # (tools/profile_decode.py / bench.py A-B runs), never a prod path
+    import os
+
+    force_fori = os.environ.get("TINYLLAMA_FORI") == "1" and not scanned_ws
+    if scanned_ws or (B * T > 1 and not force_fori):
         def body(carry, scanned):
             li, lp_scanned = scanned
             x, cache = run_block(*carry, li, lp_scanned)

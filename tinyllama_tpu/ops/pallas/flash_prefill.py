@@ -36,16 +36,28 @@ def _flash_attn_kernel(
     li_ref, pos_ref, q_ref, k_ref, v_ref, *rest,
     compute_dtype, G: int, bs: int, n_s: int,
 ):
-    if len(rest) == 6:
-        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    """TRANSPOSED-scores flash step: scores live [BS, BTG] (keys on
+    sublanes, queries on lanes), computed as dot(k, q). The per-query
+    running max and normalizer sum then reduce along SUBLANES — the
+    lane-orientation of the classic [BTG, BS] layout made those two
+    reductions ~55% of the whole kernel (kbench --bench flash: full
+    591 us vs flipped 376 us at T=2048; the exp itself is ~free,
+    contrary to the round-3 "exp-bound" reading). The accumulator stays
+    flipped too ([d, BTG]) so the alpha rescale is a sublane broadcast;
+    the caller untransposes the [B, Kh, d, TG] output once outside.
+    Int8-KV scales arrive PRE-STACKED as a [.., S, 2] operand (kvs_ref,
+    [bs, 2] tiles — a [1, bs] lane vector cannot legally turn into
+    [bs, 1] in-kernel, and diag-matmul / in-kernel transpose tricks
+    measure at ~0.2 us/tile-step, kbench flipT vs flipTpre)."""
+    if len(rest) == 5:
+        kvs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
-        ks_ref = vs_ref = None
+        kvs_ref = None
         o_ref, acc_ref, m_ref, l_ref = rest
     b = pl.program_id(0)
-    h = pl.program_id(1)
     t = pl.program_id(2)
     s = pl.program_id(3)
-    BTG, d = q_ref.shape
+    d, BTG = o_ref.shape
 
     @pl.when(s == 0)
     def _():
@@ -59,45 +71,46 @@ def _flash_attn_kernel(
 
     @pl.when(s * bs <= t_max)
     def _():
-        q = q_ref[:].astype(compute_dtype)
+        if kvs_ref is None:
+            k = k_ref[:].astype(compute_dtype)
+            v = v_ref[:].astype(compute_dtype)
+        else:
+            k = (k_ref[:].astype(jnp.float32) * kvs_ref[:, :1]).astype(
+                compute_dtype)
+            v = (v_ref[:].astype(jnp.float32) * kvs_ref[:, 1:2]).astype(
+                compute_dtype)
         scores = jax.lax.dot_general(
-            q, k_ref[:].astype(compute_dtype),
+            k, q_ref[:].astype(compute_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (1.0 / (d ** 0.5))  # [BTG, BS]
-        if ks_ref is not None:
-            scores = scores * ks_ref[pl.ds(h, 1), :]
+        ) * (1.0 / (d ** 0.5))  # [BS, BTG]
 
-        # absolute query position of each flattened (token, group) row;
-        # 1-D iotas + a broadcast compare, not two materialized
-        # [BTG, BS] index planes
+        # absolute positions: keys on sublanes, queries on lanes
+        s_abs = s * bs + jax.lax.broadcasted_iota(jnp.int32, (bs, 1), 0)
         t_abs = pos_ref[b] + (
-            row0 + jax.lax.broadcasted_iota(jnp.int32, (BTG, 1), 0)
+            row0 + jax.lax.broadcasted_iota(jnp.int32, (1, BTG), 1)
         ) // G
-        s_abs = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         scores = jnp.where(s_abs <= t_abs, scores, NEG_INF)
 
-        m_prev = m_ref[:, :1]  # [BTG, 1] (lanes replicated)
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        m_prev = m_ref[:1]  # [1, BTG]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=0, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         # (measured: computing exp on bf16 values changes nothing here —
-        # Mosaic upcasts transcendentals to f32 internally, so the S^2
-        # exp cost is a hard VPU floor at any storage precision)
+        # Mosaic upcasts transcendentals to f32 internally)
         p = jnp.exp(scores - m_new)
-        row_l = jnp.sum(p, axis=1, keepdims=True)
-        if vs_ref is not None:
-            p = p * vs_ref[pl.ds(h, 1), :]
-        l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(row_l, l_ref.shape)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:1] = l_ref[:1] * alpha + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[:1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(compute_dtype), v_ref[:].astype(compute_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            v, p.astype(compute_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # [d, BTG]
 
     @pl.when(s == n_s - 1)
     def _():
-        o_ref[:] = (acc_ref[:] / l_ref[:, :1]).astype(o_ref.dtype)
+        denom = l_ref[:1]
+        denom = jnp.where(denom > 0.0, denom, 1.0)
+        o_ref[:] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
 
 def _tile(n: int, cap: int) -> int:
@@ -140,12 +153,18 @@ def _run_flash_prefill(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
     ]
     operands = [qg, ck, cv]
     if quant:
-        scale_spec = pl.BlockSpec(
-            (None, None, Kh, bs),
-            lambda b, h, t, s, li, pos: (li[0], b, 0, _s_eff(b, t, s, pos)),
-        )
-        in_specs += [scale_spec, scale_spec]
-        operands += [ck_s, cv_s]
+        # pre-stacked sublane-oriented scales for the flipped kernel:
+        # layer li's [B, Kh, S] planes stacked to [B, Kh, S, 2] (a
+        # ~S*Kh*8-byte XLA op per layer; the [bs, 2] tile is one
+        # contiguous 4 KB DMA)
+        kvs = jnp.stack(
+            [ck_s[li[0]], cv_s[li[0]]], axis=-1
+        ).astype(jnp.float32)
+        in_specs += [pl.BlockSpec(
+            (None, None, bs, 2),
+            lambda b, h, t, s, li, pos: (b, h, _s_eff(b, t, s, pos), 0),
+        )]
+        operands += [kvs]
 
     kernel = functools.partial(
         _flash_attn_kernel, compute_dtype=compute_dtype, G=G, bs=bs, n_s=n_s
@@ -154,18 +173,18 @@ def _run_flash_prefill(qg, ck, cv, ck_s, cv_s, li, pos, G, interpret):
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((None, None, btg, d),
-                               lambda b, h, t, s, li, pos: (b, h, t, 0)),
+        out_specs=pl.BlockSpec((None, None, d, btg),
+                               lambda b, h, t, s, li, pos: (b, h, 0, t)),
         scratch_shapes=[
-            pltpu.VMEM((btg, d), jnp.float32),
-            pltpu.VMEM((btg, 128), jnp.float32),
-            pltpu.VMEM((btg, 128), jnp.float32),
+            pltpu.VMEM((d, btg), jnp.float32),
+            pltpu.VMEM((8, btg), jnp.float32),
+            pltpu.VMEM((8, btg), jnp.float32),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Kh, TG, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Kh, d, TG), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
@@ -580,9 +599,11 @@ def flash_prefill_attention(
         jnp.reshape(li, (1,)).astype(jnp.int32), pos.astype(jnp.int32),
         G, interpret,
     )
+    # kernel output is flipped [B, Kh, d, TG] (see _flash_attn_kernel);
+    # one XLA transpose per layer restores [B, T, H, d]
     return (
-        out.reshape(B, Kh, T, G, d)
-        .transpose(0, 2, 1, 3, 4)
+        out.reshape(B, Kh, d, T, G)
+        .transpose(0, 3, 1, 4, 2)
         .reshape(B, T, H, d)
         .astype(q.dtype)
     )

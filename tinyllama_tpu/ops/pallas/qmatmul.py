@@ -375,6 +375,24 @@ def _qmatmul_2d(
     bk_rows = bk // 2 if kind in ("q4", "q4g") else bk
     small_m = bm <= _SMALL_M
 
+    # Scoped-VMEM stack guard: f32 acc scratch + double-buffered out/x/
+    # w/s tiles must fit the 16 MB limit. The per-step linear path never
+    # trips this, but a whole-window f32-out matmul (teacher-forced
+    # logits over all positions, tools/eval_ppl.py) at bm=512, bn=2048
+    # lands at 16.25 MB — halve bm until the stack fits.
+    def _stack_bytes(bm_):
+        out_b = 4 if jnp.dtype(out_dtype).itemsize == 4 else 2
+        return (
+            (0 if bm_ <= _SMALL_M else bm_ * bn * 4)  # acc scratch
+            + 2 * bm_ * bn * out_b                    # out tiles
+            + 2 * bm_ * bk * x.dtype.itemsize         # x tiles
+            + 2 * bk_rows * bn                        # weight tiles
+            + 2 * (bk // BLOCK_SIZE) * bn * 2         # scale tiles
+        )
+
+    while bm > _SMALL_M and _stack_bytes(bm) > (15 << 20):
+        bm //= 2
+
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), K // bk)
     if small_m:
         kernel = functools.partial(

@@ -26,7 +26,10 @@ if str(REPO) not in sys.path:
 
 
 def window_nll(cfg, policy, params, ids, window: int, use_pallas: bool):
-    """Sum of next-token negative log-likelihoods over `ids`."""
+    """Sum of next-token negative log-likelihoods over `ids`, plus the
+    per-position greedy argmax ids (for cross-policy top-1 agreement —
+    the sharpest quantization-quality signal available without the real
+    checkpoint: how often does quantization flip the argmax?)."""
     import jax
     import jax.numpy as jnp
 
@@ -51,11 +54,15 @@ def window_nll(cfg, policy, params, ids, window: int, use_pallas: bool):
         tgt = jnp.clip(tokens[0, 1:], 0, logp.shape[-1] - 1)
         tok_nll = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
         mask = jnp.arange(tok_nll.shape[0]) < n_valid
-        return jnp.sum(jnp.where(mask, tok_nll, 0.0))
+        return (
+            jnp.sum(jnp.where(mask, tok_nll, 0.0)),
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+        )
 
     import numpy as np
 
     total, count = 0.0, 0
+    argmaxes = []
     step = window
     for start in range(0, max(1, len(ids) - 1), step):
         chunk = ids[start : start + window + 1]
@@ -63,11 +70,13 @@ def window_nll(cfg, policy, params, ids, window: int, use_pallas: bool):
             break
         n_valid = len(chunk) - 1
         padded = chunk + [0] * (window + 1 - len(chunk))
-        total += float(nll_window(
+        nll, am = nll_window(
             params, jnp.asarray([padded], jnp.int32), jnp.int32(n_valid)
-        ))
+        )
+        total += float(nll)
+        argmaxes.append(np.asarray(am)[:n_valid])
         count += n_valid
-    return total, count
+    return total, count, np.concatenate(argmaxes) if argmaxes else np.zeros(0)
 
 
 def main(argv=None) -> int:
@@ -111,6 +120,7 @@ def main(argv=None) -> int:
 
     policies = (args.compare.split(",") if args.compare else [args.policy])
     dense = None
+    base_argmax = None
     for pname in policies:
         policy = POLICIES[pname]
         if args.random_weights:
@@ -140,14 +150,25 @@ def main(argv=None) -> int:
             else:
                 params = load_hf_checkpoint(p, cfg, policy)
         use_pallas = jax.default_backend() == "tpu" and policy.is_quantized
-        nll, n = window_nll(
+        if use_pallas:
+            # same param prep as the Engine: whole lm_head N-tiles (the
+            # ragged 32003 boundary tile at M=window rows overflows the
+            # 16M scoped VMEM by a hair)
+            params = llama.pad_lm_head_vocab(params)
+        nll, n, am = window_nll(
             cfg, policy, params, ids, min(args.window, cfg.max_ctx - 1),
             use_pallas,
+        )
+        if base_argmax is None:
+            base_argmax = am  # first compared policy is the reference
+        agree = (
+            float((am == base_argmax).mean()) if am.size else 1.0
         )
         print(json.dumps({
             "policy": pname,
             "ppl": round(math.exp(nll / max(n, 1)), 4),
             "nll": round(nll / max(n, 1), 5),
+            "top1_agree_vs_first": round(agree, 4),
             "tokens": n,
         }))
     return 0

@@ -234,6 +234,366 @@ def bench_probe(args) -> int:
     return 0
 
 
+def bench_flash(args) -> int:
+    """Ablation sweep of the flash PREFILL attention kernel at the
+    production T=2048 shape (B=1, Kh=4, G=8, d=64, i8 KV): where do the
+    14 ms go? Variants replace one cost at a time (wrong values, same
+    op/DMA structure):
+
+      full    the production body (_flash_attn_kernel twin)
+      noexp   exp(x) -> x * 0.5 (isolates the transcendental rate)
+      nomask  causal where() dropped
+      nomax   running-max/alpha rescale chain dropped (m = 0)
+      nosum   row normalizer (sum) dropped
+      dots    the two MXU dots + accumulate only
+      stream  touch-only (the tile DMA floor)
+      flipT   scores computed TRANSPOSED ([BS, BTG] via dot(k, q)): the
+              per-query max and sum become SUBLANE reductions (the lane
+              reductions are the measured cost of full), the int8-KV
+              scales fold in via iota-diagonal MXU dots (a [1, BS] lane
+              vector cannot legally transpose to [BS, 1] in-kernel),
+              and the accumulator stays flipped [d, BTG] so the alpha
+              rescale broadcasts along sublanes too
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+    B, T, Kh, G, d = 1, args.m if args.m > 8 else 2048, 4, 8, 64
+    S = T
+    TG = T * G
+    btg = 512
+    bs = 512
+    n_s = S // bs
+
+    def body(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+             o_ref, acc_ref, m_ref, l_ref, *, variant):
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        t = pl.program_id(2)
+        s = pl.program_id(3)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        row0 = t * btg
+        t_max = pos_ref[b] + (row0 + btg - 1) // G
+
+        @pl.when(s * bs <= t_max)
+        def _():
+            if variant == "stream":
+                o_ref[:] = (
+                    jnp.zeros_like(o_ref)
+                    + q_ref[:1, :].astype(jnp.float32)
+                    + k_ref[:1, :].astype(jnp.float32)
+                    + v_ref[:1, :].astype(jnp.float32)
+                    + ks_ref[:1, :1] + vs_ref[:1, :1]
+                )
+                return
+            q = q_ref[:].astype(jnp.bfloat16)
+            scores = jax.lax.dot_general(
+                q, k_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / (d ** 0.5))
+            scores = scores * ks_ref[pl.ds(h, 1), :]
+            if variant == "dots":
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    scores.astype(jnp.bfloat16),
+                    v_ref[:].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return
+            if variant != "nomask":
+                t_abs = pos_ref[b] + (
+                    row0 + jax.lax.broadcasted_iota(jnp.int32, (btg, 1), 0)
+                ) // G
+                s_abs = s * bs + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, bs), 1)
+                scores = jnp.where(s_abs <= t_abs, scores, NEG_INF)
+            if variant == "nomax":
+                m_new = jnp.zeros((btg, 1), jnp.float32)
+                alpha = jnp.ones((btg, 1), jnp.float32)
+            else:
+                m_prev = m_ref[:, :1]
+                m_new = jnp.maximum(
+                    m_prev, jnp.max(scores, axis=1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+            if variant == "noexp":
+                p = (scores - m_new) * 0.5
+            else:
+                p = jnp.exp(scores - m_new)
+            if variant != "nosum":
+                row_l = jnp.sum(p, axis=1, keepdims=True)
+                l_ref[:] = l_ref[:] * alpha + jnp.broadcast_to(
+                    row_l, l_ref.shape)
+            p = p * vs_ref[pl.ds(h, 1), :]
+            m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(s == n_s - 1)
+        def _():
+            o_ref[:] = (acc_ref[:] / jnp.maximum(l_ref[:, :1], 1.0)).astype(
+                o_ref.dtype)
+
+    def body_flip_pre(pos_ref, q_ref, k_ref, v_ref, kvs_ref,
+                      o_ref, acc_ref, m_ref, l_ref):
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        t = pl.program_id(2)
+        s = pl.program_id(3)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        row0 = t * btg
+        t_max = pos_ref[b] + (row0 + btg - 1) // G
+
+        @pl.when(s * bs <= t_max)
+        def _():
+            ksc = kvs_ref[:, :1]  # [bs, 1] f32
+            vsc = kvs_ref[:, 1:2]
+            ks = (k_ref[:].astype(jnp.float32) * ksc).astype(jnp.bfloat16)
+            vsld = (v_ref[:].astype(jnp.float32) * vsc).astype(
+                jnp.bfloat16)
+            scoresT = jax.lax.dot_general(
+                ks, q_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / (d ** 0.5))
+            s_abs = s * bs + jax.lax.broadcasted_iota(
+                jnp.int32, (bs, 1), 0)
+            t_abs = pos_ref[b] + (
+                row0 + jax.lax.broadcasted_iota(jnp.int32, (1, btg), 1)
+            ) // G
+            scoresT = jnp.where(s_abs <= t_abs, scoresT, NEG_INF)
+            m_prev = m_ref[:1]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(scoresT, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scoresT - m_new)
+            l_ref[:1] = l_ref[:1] * alpha + jnp.sum(
+                p, axis=0, keepdims=True)
+            m_ref[:1] = m_new
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                vsld, p.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(s == n_s - 1)
+        def _():
+            o_ref[:] = (
+                acc_ref[:] / jnp.maximum(l_ref[:1], 1.0)
+            ).astype(o_ref.dtype)
+
+    def body_flip(pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                  o_ref, acc_ref, m_ref, l_ref, *, noscale=False,
+                  transpose_scales=False):
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        t = pl.program_id(2)
+        s = pl.program_id(3)
+
+        @pl.when(s == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+        row0 = t * btg
+        t_max = pos_ref[b] + (row0 + btg - 1) // G
+
+        @pl.when(s * bs <= t_max)
+        def _():
+            if noscale:
+                ks = k_ref[:].astype(jnp.bfloat16)
+                vsld = v_ref[:].astype(jnp.bfloat16)
+            elif transpose_scales:
+                ksc = jnp.transpose(ks_ref[pl.ds(h, 1), :])  # [bs, 1]
+                vsc = jnp.transpose(vs_ref[pl.ds(h, 1), :])
+                ks = (k_ref[:].astype(jnp.float32) * ksc).astype(
+                    jnp.bfloat16)
+                vsld = (v_ref[:].astype(jnp.float32) * vsc).astype(
+                    jnp.bfloat16)
+            else:
+                # per-key scales ride iota-diag MXU dots: diag(ks) @ k
+                r = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+                c = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+                kdiag = jnp.where(r == c, ks_ref[pl.ds(h, 1), :], 0.0)
+                vdiag = jnp.where(r == c, vs_ref[pl.ds(h, 1), :], 0.0)
+                ks = jax.lax.dot_general(
+                    kdiag.astype(jnp.bfloat16),
+                    k_ref[:].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)  # [bs, d] scaled keys
+                vsld = jax.lax.dot_general(
+                    vdiag.astype(jnp.bfloat16),
+                    v_ref[:].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)  # [bs, d] scaled values
+            scoresT = jax.lax.dot_general(
+                ks, q_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (1.0 / (d ** 0.5))  # [bs, btg]
+            s_abs = s * bs + jax.lax.broadcasted_iota(
+                jnp.int32, (bs, 1), 0)
+            t_abs = pos_ref[b] + (
+                row0 + jax.lax.broadcasted_iota(jnp.int32, (1, btg), 1)
+            ) // G
+            scoresT = jnp.where(s_abs <= t_abs, scoresT, NEG_INF)
+            m_prev = m_ref[:1]  # [1, btg]
+            m_new = jnp.maximum(
+                m_prev, jnp.max(scoresT, axis=0, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scoresT - m_new)
+            l_ref[:1] = l_ref[:1] * alpha + jnp.sum(
+                p, axis=0, keepdims=True)
+            m_ref[:1] = m_new
+            acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+                vsld, p.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [d, btg]
+
+        @pl.when(s == n_s - 1)
+        def _():
+            o_ref[:] = (
+                acc_ref[:] / jnp.maximum(l_ref[:1], 1.0)
+            ).astype(o_ref.dtype)
+
+    key = jax.random.PRNGKey(0)
+    qg = (jax.random.normal(key, (B, Kh, TG, d)) * 0.3).astype(jnp.bfloat16)
+    ck = jax.random.randint(key, (B, Kh, S, d), -127, 127, jnp.int8)
+    cv = jax.random.randint(key, (B, Kh, S, d), -127, 127, jnp.int8)
+    ks = jnp.abs(jax.random.normal(key, (B, Kh, S))) * 0.01 + 0.001
+    vs = jnp.abs(jax.random.normal(key, (B, Kh, S))) * 0.01 + 0.001
+    pos = jnp.zeros((B,), jnp.int32)
+
+    grid = (B, Kh, TG // btg, n_s)
+    for variant in args.variants.split(","):
+        if variant == "flipTpre":
+            kvs_t = jnp.stack([ks, vs], axis=-1)  # [B, Kh, S, 2] f32
+            f = lambda qg: pl.pallas_call(
+                body_flip_pre,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1,
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec((None, None, btg, d),
+                                     lambda b, h, t, s, pos: (b, h, t, 0)),
+                        pl.BlockSpec((None, None, bs, d),
+                                     lambda b, h, t, s, pos: (b, h, s, 0)),
+                        pl.BlockSpec((None, None, bs, d),
+                                     lambda b, h, t, s, pos: (b, h, s, 0)),
+                        pl.BlockSpec((None, None, bs, 2),
+                                     lambda b, h, t, s, pos: (b, h, s, 0)),
+                    ],
+                    out_specs=pl.BlockSpec(
+                        (None, None, d, btg),
+                        lambda b, h, t, s, pos: (b, h, 0, t)),
+                    scratch_shapes=[
+                        pltpu.VMEM((d, btg), jnp.float32),
+                        pltpu.VMEM((8, btg), jnp.float32),
+                        pltpu.VMEM((8, btg), jnp.float32),
+                    ],
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (B, Kh, d, TG), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "parallel", "parallel", "parallel", "arbitrary"),
+                ),
+            )(pos, qg, ck, cv, kvs_t)
+            try:
+                g = loop_fn(f, qg, args.iters)
+                times = device_time_us(g)
+                per_call = max(times.values(), default=0.0) / args.iters
+                print(f"flash T={T} {variant:>7}: {per_call:9.1f} us",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"flash {variant}: FAIL "
+                      f"{str(e).splitlines()[0][:140]}", flush=True)
+            continue
+        if variant.startswith("flipT"):
+            kern = functools.partial(
+                body_flip, noscale=variant.endswith("noscale"),
+                transpose_scales=variant.endswith("tr"))
+            out_specs = pl.BlockSpec(
+                (None, None, d, btg), lambda b, h, t, s, pos: (b, h, 0, t))
+            out_shape = jax.ShapeDtypeStruct((B, Kh, d, TG), jnp.float32)
+            scratch = [
+                pltpu.VMEM((d, btg), jnp.float32),
+                pltpu.VMEM((8, btg), jnp.float32),
+                pltpu.VMEM((8, btg), jnp.float32),
+            ]
+        else:
+            kern = functools.partial(body, variant=variant)
+            out_specs = pl.BlockSpec(
+                (None, None, btg, d), lambda b, h, t, s, pos: (b, h, t, 0))
+            out_shape = jax.ShapeDtypeStruct((B, Kh, TG, d), jnp.float32)
+            scratch = [
+                pltpu.VMEM((btg, d), jnp.float32),
+                pltpu.VMEM((btg, 128), jnp.float32),
+                pltpu.VMEM((btg, 128), jnp.float32),
+            ]
+        f = lambda qg, kern=kern, out_specs=out_specs, \
+            out_shape=out_shape, scratch=scratch: pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((None, None, btg, d),
+                                 lambda b, h, t, s, pos: (b, h, t, 0)),
+                    pl.BlockSpec((None, None, bs, d),
+                                 lambda b, h, t, s, pos: (b, h, s, 0)),
+                    pl.BlockSpec((None, None, bs, d),
+                                 lambda b, h, t, s, pos: (b, h, s, 0)),
+                    pl.BlockSpec((None, Kh, bs),
+                                 lambda b, h, t, s, pos: (b, 0, s)),
+                    pl.BlockSpec((None, Kh, bs),
+                                 lambda b, h, t, s, pos: (b, 0, s)),
+                ],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "parallel", "arbitrary"),
+            ),
+        )(pos, qg, ck, cv, ks, vs)
+        try:
+            g = loop_fn(f, qg, args.iters)
+            times = device_time_us(g)
+            per_call = max(times.values(), default=0.0) / args.iters
+            print(f"flash T={T} {variant:>7}: {per_call:9.1f} us",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"flash {variant}: FAIL {str(e).splitlines()[0][:140]}",
+                  flush=True)
+    return 0
+
+
 def bench_i4(args) -> int:
     """Experimental native-int4 small-m matmul kernel vs the current one.
 
@@ -1214,7 +1574,7 @@ def bench_sweep(args) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--bench", default="qmatmul",
-                    choices=("qmatmul", "probe", "i4", "sweep"))
+                    choices=("qmatmul", "probe", "i4", "sweep", "flash"))
     ap.add_argument("--variants", default="stream,cur,i8shift,dq")
     ap.add_argument("--bns", default="0")
     ap.add_argument("--bks", default="0")
@@ -1236,6 +1596,8 @@ def main(argv=None) -> int:
         return bench_i4(args)
     if args.bench == "sweep":
         return bench_sweep(args)
+    if args.bench == "flash":
+        return bench_flash(args)
     return bench_qmatmul(args)
 
 
