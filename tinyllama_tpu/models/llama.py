@@ -388,13 +388,7 @@ def forward(
             ctx_bound=ctx_bound,
         )
 
-    # TINYLLAMA_FORI=1 forces the fori_loop walk at any batch — a
-    # measurement knob for the serving regression documented below
-    # (tools/profile_decode.py / bench.py A-B runs), never a prod path
-    import os
-
-    force_fori = os.environ.get("TINYLLAMA_FORI") == "1" and not scanned_ws
-    if scanned_ws or (B * T > 1 and not force_fori):
+    if scanned_ws:
         def body(carry, scanned):
             li, lp_scanned = scanned
             x, cache = run_block(*carry, li, lp_scanned)
@@ -406,14 +400,21 @@ def forward(
             (jnp.arange(cfg.n_layers, dtype=jnp.int32), scanned_ws),
         )
     else:
-        # b1 decode with everything layer-stacked (the fused quantized
-        # path): a fori_loop hands the body its layer index directly,
-        # dropping the scan's per-iteration xs slice + carry machinery
-        # (~2.5 us/layer-step of dispatch; 752 -> 777 tok/s measured).
-        # Batched serving keeps the scan: under the scheduler's
-        # interleaved admission dispatches the fori variant measurably
-        # regressed both serve modes (2471 -> 1590 monolithic, 3486 ->
-        # ~2300-3160 paged at 32 slots) — cause not isolated, gated off
+        # everything layer-stacked (the fused quantized path): a
+        # fori_loop hands the body its layer index directly, dropping
+        # the scan's per-iteration xs slice + carry machinery
+        # (~2.5 us/layer-step; 752 -> 777 tok/s at b1, round 3).
+        # History: round 3 measured a ~35% SERVING regression for this
+        # walk under the scheduler's eager per-row admission inserts
+        # and gated it to B*T == 1; with the round-4 serving machinery
+        # (one-dispatch bucket-keyed inserts, host-side positions,
+        # downshift) the round-5 A/B (TINYLLAMA_FORI knob, PERF.md)
+        # showed the regression gone and fori AHEAD everywhere it is
+        # eligible — paged serve +1.6%, monolithic serve +2.3%, b16
+        # lockstep +2.5% — so it is now the default whenever no weight
+        # rides the scan. The old regression was an interaction with
+        # the retired eager insert dispatches, not a property of the
+        # loop construct.
         x, cache = jax.lax.fori_loop(
             0, cfg.n_layers,
             lambda li, carry: run_block(*carry, li, {}),
