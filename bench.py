@@ -54,8 +54,16 @@ def main() -> int:
     del dense
     params = jax.block_until_ready(params)
 
-    engine = Engine(cfg, policy, params)
-    prompt = list(range(2, 34))  # 32 tokens
+    # long-context mode: BENCH_CTX overrides max_ctx (4096/8192 exercise
+    # _ctx_bucket growth, page tables and the staging path past the
+    # reference's 2048 cap — tinyllama.cpp:14), BENCH_PROMPT sets the
+    # prefill length so decode runs at deep fill, BENCH_PAGED uses the
+    # paged engine for the single stream
+    max_ctx = int(os.environ.get("BENCH_CTX", "0")) or None
+    prompt_len = int(os.environ.get("BENCH_PROMPT", "32"))
+    engine = Engine(cfg, policy, params, max_ctx=max_ctx,
+                    paged=bool(os.environ.get("BENCH_PAGED")))
+    prompt = [2 + (i % 2000) for i in range(prompt_len)]
     gen = GenerationConfig(
         n_predict=n_tokens + len(prompt), greedy=True, eos_token=-1,
         chunk_size=chunk,
@@ -87,6 +95,9 @@ def main() -> int:
         "vs_baseline": round(tok_s / roofline, 4),
         "detail": {
             "policy": policy_name,
+            "max_ctx": engine.max_ctx,
+            "prompt_len": len(prompt),
+            "paged": engine.paged,
             "tokens": stats.generated_tokens,
             **(
                 {"n_verify": stats.decode_token_times[0],

@@ -241,6 +241,34 @@ def test_engine_generate_paged_matches_monolithic():
     assert gots == wants
 
 
+def test_paged_prefill_chunk_self_attention_matches_gather():
+    """The Pallas paged-prefill path attends the chunk's own freshly
+    quantized K/V instead of gathering every page (llama.py round-5
+    fast path; value-identical because _quantize_kv produces exactly
+    what update_paged_at_layer wrote). In interpret mode on CPU it
+    must reproduce the gather-path generation token for token, and
+    decode must continue seamlessly from the pool it wrote."""
+    import jax
+
+    from tinyllama_tpu.config import DtypePolicy, GenerationConfig, tiny_test_config
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.runtime.engine import Engine
+
+    cfg = tiny_test_config()
+    policy = DtypePolicy("q8", "f32", "i8")
+    params = llama.convert_params(
+        llama.init_dense_params(cfg, jax.random.PRNGKey(0)), policy
+    )
+    gen = GenerationConfig(n_predict=40, greedy=True, eos_token=-1,
+                           chunk_size=8)
+    prompt = [3, 7, 1, 9, 4, 4, 2]
+    want, _ = Engine(cfg, policy, params, paged=True,
+                     use_pallas=False).generate(prompt, gen)
+    got, _ = Engine(cfg, policy, params, paged=True,
+                    use_pallas=True).generate(prompt, gen)
+    assert got == want
+
+
 def test_paged_generate_under_dp2_tp2():
     """Regression: the paged cache's page table must shard its batch rows
     on the data axes like pos/tokens (parallel/tp.py paged_cache_specs) —

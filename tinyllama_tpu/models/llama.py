@@ -54,6 +54,7 @@ from tinyllama_tpu.ops.rope import apply_rope_gathered, gather_rope, rope_table
 from tinyllama_tpu.quant.codec import QTensor, quantize
 from tinyllama_tpu.runtime.kvcache import (
     KVCache,
+    _quantize_kv,
     layer_cache_view,
     update_cache_at_layer,
 )
@@ -258,8 +259,29 @@ def _block(
             # page-walking flash decode: DMA cost tracks each row's fill
             attn = flash_paged_attention(q, cache, li, pos,
                                          ctx_bound=ctx_bound)
+        elif use_pallas:
+            # paged prefill (always pos == 0: admission/CLI — see
+            # Engine._step_fn): the chunk's own K/V is the WHOLE
+            # attended context, and _quantize_kv here produces the
+            # exact int8+scale values update_paged_at_layer just wrote,
+            # so attending a temporary single-layer dense view is
+            # value-identical to reading the pool back — without the
+            # per-layer whole-table page gather + dense S² fallback
+            # attention that made a 3K-token paged prefill 3.6x slower
+            # than monolithic (PERF.md, round 5)
+            kh = k.transpose(0, 2, 1, 3)  # [B, Kh, T, d]
+            vh = v.transpose(0, 2, 1, 3)
+            if cache.quantized:
+                kq, ks = _quantize_kv(kh)
+                vq, vs = _quantize_kv(vh)
+                tmp = KVCache(k=kq[None], v=vq[None],
+                              k_scale=ks[None], v_scale=vs[None])
+            else:
+                tmp = KVCache(k=kh[None], v=vh[None],
+                              k_scale=None, v_scale=None)
+            attn = flash_prefill_attention(q, tmp, jnp.int32(0), pos)
         else:
-            # prefill / fallback: gather the pages into a dense view
+            # CPU/fallback prefill: gather the pages into a dense view
             k_eff, v_eff = paged_layer_view(cache, li, x.dtype, ctx_bound)
             attn = gqa_attention(q, k_eff, v_eff, q_positions)
     else:
