@@ -305,11 +305,16 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
 
     paged = bool(os.environ.get("BENCH_PAGED"))
     n_pages = None
+    page_size = None
     if paged:
-        from tinyllama_tpu.runtime.paged import PAGE_SIZE
+        from tinyllama_tpu.runtime.paged import default_page_size
 
+        page_size = (
+            int(os.environ.get("BENCH_PAGESIZE", "0"))
+            or default_page_size(cfg.max_ctx)
+        )
         # size the pool to the actual working set (+1 scratch page)
-        per_req = -(-(prompt_len + max_new + chunk) // PAGE_SIZE)
+        per_req = -(-(prompt_len + max_new + chunk) // page_size)
         n_pages = 1 + batch * per_req
 
     # bucket downshift (paged only): BENCH_DOWNSHIFT=0 pins chunks at
@@ -319,6 +324,7 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     def run_round():
         sched = ContinuousBatcher(engine, gen, max_batch=batch,
                                   paged=paged, n_pages=n_pages,
+                                  page_size=page_size,
                                   downshift=downshift)
         for i in range(n_reqs):
             sched.submit(

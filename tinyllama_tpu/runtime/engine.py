@@ -203,9 +203,11 @@ class Engine:
         pages covering max_ctx (page 0 stays the scratch page), so the
         reference-shaped single-prompt loop exercises flash_paged
         end-to-end. Pool-under-allocation belongs to the scheduler."""
-        from tinyllama_tpu.runtime.paged import PAGE_SIZE, init_paged_cache
+        from tinyllama_tpu.runtime.paged import (
+            default_page_size, init_paged_cache,
+        )
 
-        J = self.max_ctx // PAGE_SIZE
+        J = self.max_ctx // default_page_size(self.max_ctx)
         cache = init_paged_cache(
             self.cfg, n_pages or (1 + batch * J), batch,
             self.policy.kv_dtype, self.max_ctx,

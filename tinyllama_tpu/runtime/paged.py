@@ -34,7 +34,23 @@ import jax.numpy as jnp
 
 from tinyllama_tpu.config import ModelConfig
 
-PAGE_SIZE = 128
+#: Default page length. 256 measured best at the serving benchmark
+#: shapes (round 5 A/B at 32 slots: 128 -> 256 = +4.3% aggregate tok/s
+#: — half the page-walk grid steps and [G, 256] dots per online-softmax
+#: update; 512 regresses to -12% because the walk cannot skip inside a
+#: page and mostly-dead 512-wide page DMAs dominate at ~100-160 token
+#: fills). Use `default_page_size(S)` rather than this constant when a
+#: context may be smaller than one page.
+PAGE_SIZE = 256
+
+
+def default_page_size(S: int) -> int:
+    """The largest legal page (<= PAGE_SIZE) for a max_ctx of S."""
+    p = PAGE_SIZE
+    while p > S or S % p:
+        p //= 2
+        assert p >= 8, (S, "max_ctx must be a multiple of 8")
+    return p
 
 _KV_JNP_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
 
@@ -92,9 +108,10 @@ def init_paged_cache(
     batch: int,
     kv_dtype: str = "bf16",
     max_ctx: int | None = None,
-    page_size: int = PAGE_SIZE,
+    page_size: int | None = None,
 ) -> PagedKVCache:
     S = max_ctx or cfg.max_ctx
+    page_size = page_size or default_page_size(S)
     assert S % page_size == 0, (S, page_size)
     shape = (cfg.n_layers, n_pages, cfg.n_kv_heads, page_size, cfg.d_head)
     table = jnp.zeros((batch, S // page_size), jnp.int32)

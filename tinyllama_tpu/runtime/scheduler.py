@@ -199,10 +199,10 @@ class ContinuousBatcher:
         self.key = jax.random.PRNGKey(self.gen.seed)
         if paged:
             from tinyllama_tpu.runtime.paged import (
-                PAGE_SIZE, PageAllocator, init_paged_cache,
+                PageAllocator, default_page_size, init_paged_cache,
             )
 
-            self.P = page_size or PAGE_SIZE
+            self.P = page_size or default_page_size(engine.max_ctx)
             S = engine.max_ctx
             self.J = S // self.P
             # default pool: monolithic-equivalent capacity (callers size
