@@ -27,9 +27,14 @@ HBM_BW = {
 }
 
 
-#: approximate peak bf16 MXU throughput per chip, FLOP/s (for MFU context)
+#: approximate peak bf16 MXU throughput per chip, FLOP/s (for MFU context).
+#: NOTE v5e: 197 TFLOP/s is the bf16 peak; the oft-quoted 394 is INT8
+#: TOPS. Rounds 1-4 used 394e12 here, which halved every reported MFU —
+#: a dense XLA bf16 [2048,2048]x[2048,11264] measures 489 us = 98% of
+#: the 197e12 peak on this chip (round-5 calibration), so 197e12 is the
+#: correct denominator.
 PEAK_FLOPS = {
-    "TPU v5 lite": 394e12,  # v5e bf16
+    "TPU v5 lite": 197e12,  # v5e bf16 (394e12 is int8)
     "TPU v4": 275e12,
     "TPU v6 lite": 918e12,
 }
