@@ -48,13 +48,20 @@ def main() -> int:
     from tinyllama_tpu.runtime.engine import Engine
     from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
 
-    cfg = TINYLLAMA_1_1B
+    from tinyllama_tpu.config import MODEL_REGISTRY
+
+    # BENCH_MODEL=llama-3-8b benches the larger presets (quantized
+    # policies only — an 8B f32 staging tree would not fit HBM)
+    cfg = MODEL_REGISTRY[os.environ.get("BENCH_MODEL", TINYLLAMA_1_1B.name)]
     policy = POLICIES[policy_name]
 
     key = jax.random.PRNGKey(0)
-    dense = llama.init_dense_params(cfg, key, dtype=jnp.float32)
-    params = llama.convert_params(dense, policy)
-    del dense
+    if cfg is TINYLLAMA_1_1B or not policy.is_quantized:
+        dense = llama.init_dense_params(cfg, key, dtype=jnp.float32)
+        params = llama.convert_params(dense, policy)
+        del dense
+    else:
+        params = llama.init_quantized_params(cfg, key, policy)
     params = jax.block_until_ready(params)
 
     # long-context mode: BENCH_CTX overrides max_ctx (4096/8192 exercise
@@ -92,7 +99,7 @@ def main() -> int:
 
     suffix = f"_spec{spec}" if spec else ""
     result = {
-        "metric": f"decode_tok_s_tinyllama1.1b_{policy_name}_b1{suffix}",
+        "metric": f"decode_tok_s_{cfg.name}_{policy_name}_b1{suffix}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),

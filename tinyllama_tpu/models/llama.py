@@ -123,6 +123,56 @@ def init_dense_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Pa
     }
 
 
+def init_quantized_params(
+    cfg: ModelConfig, key: jax.Array, policy: DtypePolicy
+) -> Params:
+    """Random parameters materialized DIRECTLY in the policy's storage
+    dtypes, one tensor at a time.
+
+    `init_dense_params` + `convert_params` stages the whole model in
+    f32 first — at Llama-3-8B that is a 32 GB tree and this chip holds
+    16 GB, so large-preset benches/smokes build each layer's f32
+    tensor, quantize it, and stack only the packed planes (peak extra
+    memory = one layer tensor + the embed/lm_head tables)."""
+    assert policy.is_quantized, "use init_dense_params for dense policies"
+    n_tensors = 3 + len(_LAYER_LINEARS)
+    keys = iter(jax.random.split(key, n_tensors))
+
+    def rand(k, shape, scale=0.02):
+        return jax.random.normal(k, shape, jnp.float32) * scale
+
+    layers: dict[str, Any] = {}
+    for name, shape_fn in _LAYER_LINEARS.items():
+        kbase = next(keys)
+        qts = []
+        for li in range(cfg.n_layers):
+            w = rand(jax.random.fold_in(kbase, li), shape_fn(cfg))
+            qts.append(quantize(w, policy.wdtype, layout="kn"))
+            del w
+        layers[name] = QTensor(
+            data=jnp.stack([q.data for q in qts]),
+            scales=jnp.stack([q.scales for q in qts]),
+            kind=qts[0].kind, layout="kn",
+        )
+        del qts
+    layers["attn_norm"] = jnp.ones((cfg.n_layers, cfg.n_embd), jnp.float32)
+    layers["ffn_norm"] = jnp.ones((cfg.n_layers, cfg.n_embd), jnp.float32)
+    embed = quantize(
+        rand(next(keys), (cfg.n_vocab, cfg.n_embd)), policy.wdtype,
+        layout="nk",
+    )
+    lm_head = quantize(
+        rand(next(keys), (cfg.n_vocab, cfg.n_embd)), policy.wdtype,
+        layout="kn",
+    )
+    return {
+        "embed": embed,
+        "layers": layers,
+        "norm": jnp.ones((cfg.n_embd,), jnp.float32),
+        "lm_head": lm_head,
+    }
+
+
 def convert_params(dense: Params, policy: DtypePolicy) -> Params:
     """Cast or block-quantize dense f32 params per the dtype policy.
 
