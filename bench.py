@@ -20,6 +20,31 @@ import sys
 import time
 
 
+def _bench_cfg_params(policy_name: str):
+    """(cfg, policy, params) for the benched model: BENCH_MODEL selects
+    the preset; large presets materialize straight into quantized
+    storage (llama.init_quantized_params — an 8B f32 staging tree
+    exceeds this chip's HBM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tinyllama_tpu.config import (
+        MODEL_REGISTRY, POLICIES, TINYLLAMA_1_1B,
+    )
+    from tinyllama_tpu.models import llama
+
+    cfg = MODEL_REGISTRY[os.environ.get("BENCH_MODEL", TINYLLAMA_1_1B.name)]
+    policy = POLICIES[policy_name]
+    key = jax.random.PRNGKey(0)
+    if cfg is TINYLLAMA_1_1B or not policy.is_quantized:
+        dense = llama.init_dense_params(cfg, key, dtype=jnp.float32)
+        params = llama.convert_params(dense, policy)
+        del dense
+    else:
+        params = llama.init_quantized_params(cfg, key, policy)
+    return cfg, policy, jax.block_until_ready(params)
+
+
 def main() -> int:
     policy_name = os.environ.get("BENCH_POLICY", "q4g")
     # 1536 tokens measures steady-state decode: the two unavoidable
@@ -41,28 +66,11 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from tinyllama_tpu.config import (
-        GenerationConfig, POLICIES, TINYLLAMA_1_1B,
-    )
-    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.config import GenerationConfig
     from tinyllama_tpu.runtime.engine import Engine
     from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
 
-    from tinyllama_tpu.config import MODEL_REGISTRY
-
-    # BENCH_MODEL=llama-3-8b benches the larger presets (quantized
-    # policies only — an 8B f32 staging tree would not fit HBM)
-    cfg = MODEL_REGISTRY[os.environ.get("BENCH_MODEL", TINYLLAMA_1_1B.name)]
-    policy = POLICIES[policy_name]
-
-    key = jax.random.PRNGKey(0)
-    if cfg is TINYLLAMA_1_1B or not policy.is_quantized:
-        dense = llama.init_dense_params(cfg, key, dtype=jnp.float32)
-        params = llama.convert_params(dense, policy)
-        del dense
-    else:
-        params = llama.init_quantized_params(cfg, key, policy)
-    params = jax.block_until_ready(params)
+    cfg, policy, params = _bench_cfg_params(policy_name)
 
     # long-context mode: BENCH_CTX overrides max_ctx (4096/8192 exercise
     # _ctx_bucket growth, page tables and the staging path past the
@@ -137,20 +145,15 @@ def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
     import jax
     import jax.numpy as jnp
 
-    from tinyllama_tpu.config import POLICIES, TINYLLAMA_1_1B
-    from tinyllama_tpu.models import llama
     from tinyllama_tpu.runtime.engine import Engine
     from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
 
-    cfg = TINYLLAMA_1_1B
-    policy = POLICIES[policy_name]
-    dense = llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-    params = jax.block_until_ready(llama.convert_params(dense, policy))
-    del dense
+    cfg, policy, params = _bench_cfg_params(policy_name)
 
     from tinyllama_tpu.runtime.engine import _ctx_bucket
 
-    engine = Engine(cfg, policy, params, max_batch=batch)
+    max_ctx = int(os.environ.get("BENCH_CTX", "0")) or None
+    engine = Engine(cfg, policy, params, max_batch=batch, max_ctx=max_ctx)
     cache = engine.new_cache(batch)
     logits, cache, lens = engine.prefill(cache, [list(range(2, 34))] * batch)
     # per-round fill-bucketed chunks, exactly as generate_batch
@@ -187,7 +190,7 @@ def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
     bw = detect_hbm_bw() or 819e9
     roofline = bw / tree_nbytes(params) * batch  # perfect weight amortization
     print(json.dumps({
-        "metric": f"decode_tok_s_tinyllama1.1b_{policy_name}_b{batch}",
+        "metric": f"decode_tok_s_{cfg.name}_{policy_name}_b{batch}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),
@@ -210,17 +213,11 @@ def prefill_bench(policy_name: str, T: int) -> int:
     import jax
     import jax.numpy as jnp
 
-    from tinyllama_tpu.config import POLICIES, TINYLLAMA_1_1B
-    from tinyllama_tpu.models import llama
     from tinyllama_tpu.runtime import trace
     from tinyllama_tpu.runtime.engine import Engine
     from tinyllama_tpu.runtime.perf import detect_peak_flops
 
-    cfg = TINYLLAMA_1_1B
-    policy = POLICIES[policy_name]
-    dense = llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-    params = jax.block_until_ready(llama.convert_params(dense, policy))
-    del dense
+    cfg, policy, params = _bench_cfg_params(policy_name)
     engine = Engine(cfg, policy, params)
     prompt = list(range(2, 2 + T))
 
@@ -260,7 +257,7 @@ def prefill_bench(policy_name: str, T: int) -> int:
     peak = detect_peak_flops() or 394e12
     base = dev_s or wall
     print(json.dumps({
-        "metric": f"prefill_tok_s_tinyllama1.1b_{policy_name}_T{T}",
+        "metric": f"prefill_tok_s_{cfg.name}_{policy_name}_T{T}",
         "value": round(T / base, 1),
         "unit": "tok/s",
         "vs_baseline": round(flops / base / peak, 4),  # MFU
@@ -287,16 +284,12 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
 
     import jax
 
-    from tinyllama_tpu.config import (
-        GenerationConfig, POLICIES, TINYLLAMA_1_1B,
-    )
-    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.config import GenerationConfig
     from tinyllama_tpu.runtime.engine import Engine
     from tinyllama_tpu.runtime.perf import detect_hbm_bw, tree_nbytes
     from tinyllama_tpu.runtime.scheduler import ContinuousBatcher
 
-    cfg = TINYLLAMA_1_1B
-    policy = POLICIES[policy_name]
+    cfg, policy, params = _bench_cfg_params(policy_name)
     n_reqs = int(os.environ.get("BENCH_REQS", str(batch * 3)))
     prompt_len = int(os.environ.get("BENCH_PROMPT", "33"))
     max_new = int(os.environ.get("BENCH_MAXNEW", "64"))
@@ -304,13 +297,10 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     # for (chunk - max_new) steps per wave — clamp
     chunk = min(chunk, max_new)
 
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
-    dense = llama.init_dense_params(cfg, jax.random.PRNGKey(0), jnp.float32)
-    params = jax.block_until_ready(llama.convert_params(dense, policy))
-    del dense
-
-    engine = Engine(cfg, policy, params, max_batch=batch)
+    max_ctx = int(os.environ.get("BENCH_CTX", "0")) or None
+    engine = Engine(cfg, policy, params, max_batch=batch, max_ctx=max_ctx)
     gen = GenerationConfig(greedy=True, eos_token=-1, chunk_size=chunk)
 
     paged = bool(os.environ.get("BENCH_PAGED"))
@@ -355,7 +345,7 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     toks, wall, ttfts = run_round()
 
     print(json.dumps({
-        "metric": f"serve_tok_s_tinyllama1.1b_{policy_name}_b{batch}",
+        "metric": f"serve_tok_s_{cfg.name}_{policy_name}_b{batch}",
         "value": round(toks / wall, 2),
         "unit": "tok/s",
         "vs_baseline": round(
