@@ -226,3 +226,31 @@ class TestTpOverlap:
         between = hlo[first:last]
         assert between.count("stablehlo.dot_general") >= n_perm - 2, \
             "no compute between permute hops"
+
+
+def test_q4g_tp_pack_group_guard():
+    """A tp that would split a q4g pack group across row-parallel
+    K-shards must be REFUSED: the per-shard kernel re-derives the pack
+    group from its local K and would decode garbage silently (e.g.
+    TinyLlama w_down K=5632, pack group 256, tp=4 -> local 1408 reads
+    as group 128). tp values that keep shards group-aligned pass."""
+    from tinyllama_tpu.config import DtypePolicy, tiny_test_config
+    from tinyllama_tpu.models import llama
+    from tinyllama_tpu.parallel import tp as tpmod
+
+    cfg = tiny_test_config(n_embd=256, n_ffn=768, n_heads=4, n_kv_heads=2)
+    params = llama.convert_params(
+        llama.init_dense_params(cfg, jax.random.PRNGKey(0)),
+        DtypePolicy("q4g", "f32", "i8"),
+    )
+    # w_down K=768: pack group 256 -> 3 groups; tp=2 splits one
+    with pytest.raises(ValueError, match="pack group"):
+        tpmod.tp_permute_params(params, cfg, 2)
+
+    cfg_ok = tiny_test_config(n_embd=512, n_ffn=1024, n_heads=4,
+                              n_kv_heads=2)
+    params_ok = llama.convert_params(
+        llama.init_dense_params(cfg_ok, jax.random.PRNGKey(0)),
+        DtypePolicy("q4g", "f32", "i8"),
+    )
+    tpmod.tp_permute_params(params_ok, cfg_ok, 2)  # 1024/2=512 aligned

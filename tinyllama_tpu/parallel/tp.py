@@ -94,6 +94,26 @@ def tp_permute_params(params: llama.Params, cfg: ModelConfig, tp: int):
     """
     if tp == 1:
         return params
+    # q4g row-parallel weights shard their K (packing) axis: a shard
+    # boundary inside a pack group would make the per-shard kernel
+    # re-derive the WRONG group size from its local K (codec
+    # q4g_pack_group falls back 256 -> 128 whenever local K % 256 is
+    # 128) and decode garbage SILENTLY — e.g. TinyLlama w_down
+    # (K=5632) at tp=4. Refuse instead of corrupting.
+    from tinyllama_tpu.quant.codec import q4g_pack_group
+
+    for name in _ROW:
+        w = params["layers"][name]
+        if isinstance(w, QTensor) and w.kind == "q4g":
+            K = w.shape[-1]
+            pg = q4g_pack_group(K)
+            if (K // tp) % pg:
+                raise ValueError(
+                    f"q4g weight '{name}' (K={K}, pack group {pg}) "
+                    f"cannot shard over tp={tp}: the local K={K // tp} "
+                    f"splits a pack group. Use a tp that divides "
+                    f"{K // pg} group(s), or the q4/q8 policies."
+                )
     perms = _fused_perm(cfg, tp)
     layers = dict(params["layers"])
     for name, perm in perms.items():
