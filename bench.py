@@ -20,6 +20,13 @@ import sys
 import time
 
 
+def _metric_model(cfg) -> str:
+    """Model tag for metric names; the flagship keeps its historical
+    short name so BENCH_r* files stay comparable across rounds."""
+    return ("tinyllama1.1b" if cfg.name == "tinyllama-1.1b-chat-v0.4"
+            else cfg.name)
+
+
 def _bench_cfg_params(policy_name: str):
     """(cfg, policy, params) for the benched model: BENCH_MODEL selects
     the preset; large presets materialize straight into quantized
@@ -107,7 +114,7 @@ def main() -> int:
 
     suffix = f"_spec{spec}" if spec else ""
     result = {
-        "metric": f"decode_tok_s_{cfg.name}_{policy_name}_b1{suffix}",
+        "metric": f"decode_tok_s_{_metric_model(cfg)}_{policy_name}_b1{suffix}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),
@@ -190,7 +197,7 @@ def batched_bench(policy_name: str, batch: int, chunk: int) -> int:
     bw = detect_hbm_bw() or 819e9
     roofline = bw / tree_nbytes(params) * batch  # perfect weight amortization
     print(json.dumps({
-        "metric": f"decode_tok_s_{cfg.name}_{policy_name}_b{batch}",
+        "metric": f"decode_tok_s_{_metric_model(cfg)}_{policy_name}_b{batch}",
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),
@@ -257,7 +264,7 @@ def prefill_bench(policy_name: str, T: int) -> int:
     peak = detect_peak_flops() or 394e12
     base = dev_s or wall
     print(json.dumps({
-        "metric": f"prefill_tok_s_{cfg.name}_{policy_name}_T{T}",
+        "metric": f"prefill_tok_s_{_metric_model(cfg)}_{policy_name}_T{T}",
         "value": round(T / base, 1),
         "unit": "tok/s",
         "vs_baseline": round(flops / base / peak, 4),  # MFU
@@ -322,10 +329,11 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     downshift = paged and os.environ.get("BENCH_DOWNSHIFT", "1") != "0"
 
     def run_round():
-        sched = ContinuousBatcher(engine, gen, max_batch=batch,
-                                  paged=paged, n_pages=n_pages,
-                                  page_size=page_size,
-                                  downshift=downshift)
+        sched = ContinuousBatcher(
+            engine, gen, max_batch=batch, paged=paged, n_pages=n_pages,
+            page_size=page_size, downshift=downshift,
+            ttft_chunk=int(os.environ.get("BENCH_TTFT_CHUNK", "0")),
+        )
         for i in range(n_reqs):
             sched.submit(
                 [2 + (i + j) % 1000 for j in range(prompt_len)],
@@ -345,7 +353,7 @@ def serve_bench(policy_name: str, batch: int, chunk: int) -> int:
     toks, wall, ttfts = run_round()
 
     print(json.dumps({
-        "metric": f"serve_tok_s_{cfg.name}_{policy_name}_b{batch}",
+        "metric": f"serve_tok_s_{_metric_model(cfg)}_{policy_name}_b{batch}",
         "value": round(toks / wall, 2),
         "unit": "tok/s",
         "vs_baseline": round(

@@ -158,6 +158,7 @@ class ContinuousBatcher:
         min_bucket: int = 1,
         downshift_patience: int = 1,
         sp_admit_threshold: int | None = None,
+        ttft_chunk: int = 0,
     ):
         self.engine = engine
         self.gen = gen or GenerationConfig()
@@ -178,6 +179,16 @@ class ContinuousBatcher:
         if sp_admit_threshold is None and engine.sp > 1:
             sp_admit_threshold = 1024
         self.sp_admit_threshold = sp_admit_threshold
+        #: first-token latency knob (default OFF): when a running slot
+        #: has not emitted anything yet, cap the next decode chunk at
+        #: this length so its first token reaches the host after
+        #: ~ttft_chunk steps instead of a full chunk_size. Measured on
+        #: the 96-request/32-slot burst: ttft_chunk=16 cuts TTFT p50
+        #: 600 -> 499 ms but costs 23% aggregate throughput (bursts
+        #: admit fresh slots almost every wave, so most chunks run
+        #: short) — a latency/throughput dial for interactive serving,
+        #: not a default.
+        self.ttft_chunk = ttft_chunk
         self.min_bucket = max(1, min(min_bucket, self.B))
         self._patience = max(1, downshift_patience)
         self._bucket = self.B
@@ -449,6 +460,11 @@ class ContinuousBatcher:
         ]
         if rem:
             C = min(C, 1 << (max(max(rem), 1) - 1).bit_length())
+        if self.ttft_chunk and any(
+            r is not None and not r.output for r in self.running
+        ):
+            # a freshly admitted slot is waiting for its first token
+            C = max(1, min(C, self.ttft_chunk))
         was_running = [r is not None for r in self.running]
         if any(was_running):
             # fill-bucketed attention grids: the chunk's key walk covers
