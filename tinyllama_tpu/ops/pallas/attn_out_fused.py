@@ -34,7 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tinyllama_tpu.ops.pallas.flash_prefill import _tile
 from tinyllama_tpu.ops.pallas.qmatmul import _load_scales, _pick_bk, _pick_bn
-from tinyllama_tpu.ops.pallas.softmax_update import NEG_INF, online_update
+from tinyllama_tpu.ops.pallas.softmax_update import (
+    NEG_INF,
+    online_update_batch,
+)
 from tinyllama_tpu.quant.codec import BLOCK_SIZE, KN_GROUP, Q4_OFFSET, QTensor
 
 
@@ -184,14 +187,18 @@ def _run_attn_out(
                 jnp.int32, (1, bs), 1
             )
             ok = key_pos <= pos_ref[0]
-            for h in range(Kh):
-                rows = slice(h * G, (h + 1) * G)
-                online_update(
+            # phased: all Kh score dots, then the VPU updates, then all
+            # pv dots (softmax_update.online_update_batch — independent
+            # dots pipeline instead of serializing on issue latency)
+            online_update_batch(
+                [(
                     q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
                     None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
                     None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
-                    ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
-                )
+                    ok, slice(h * G, (h + 1) * G),
+                ) for h in range(Kh)],
+                m_ref, l_ref, acc_ref, compute_dtype,
+            )
 
         @pl.when((n == 0) & (t == n_s - 1))
         def _():

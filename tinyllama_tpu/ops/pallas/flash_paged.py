@@ -65,41 +65,24 @@ def _flash_paged_kernel(
     # masked-but-executed dots would otherwise dominate low-fill decode
     @pl.when(j <= last_page)
     def _():
+        from tinyllama_tpu.ops.pallas.softmax_update import (
+            online_update_batch,
+        )
+
         key_pos = j * P + jax.lax.broadcasted_iota(jnp.int32, (G, P), 1)
         ok = key_pos <= pos
-        for h in range(Kh):  # static unroll: one page DMA, Kh heads' dots
-            rows = slice(h * G, (h + 1) * G)
-            q = q_ref[h].astype(compute_dtype)
-            scores = jax.lax.dot_general(
-                q, k_ref[h].astype(compute_dtype),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (1.0 / (d ** 0.5))  # [G, P]
-            if ks_ref is not None:
-                scores = scores * ks_ref[pl.ds(h, 1), :]
-
-            scores = jnp.where(ok, scores, NEG_INF)
-
-            m_prev = m_ref[rows, :1]  # [G, 1]
-            m_new = jnp.maximum(
-                m_prev, jnp.max(scores, axis=1, keepdims=True)
-            )
-            alpha = jnp.exp(m_prev - m_new)  # [G, 1]
-            p = jnp.exp(scores - m_new)  # [G, P]
-            p = jnp.where(ok, p, 0.0)
-            l_new = l_ref[rows, :1] * alpha + jnp.sum(
-                p, axis=1, keepdims=True
-            )
-            if vs_ref is not None:
-                p = p * vs_ref[pl.ds(h, 1), :]
-            pv = jax.lax.dot_general(
-                p.astype(compute_dtype), v_ref[h].astype(compute_dtype),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, d]
-            acc_ref[rows] = acc_ref[rows] * alpha + pv
-            m_ref[rows] = jnp.broadcast_to(m_new, (G, m_ref.shape[1]))
-            l_ref[rows] = jnp.broadcast_to(l_new, (G, l_ref.shape[1]))
+        # phased Kh-batch: one page DMA, the heads' independent
+        # score/pv dots pipeline back to back instead of serializing
+        # on each tiny dot's issue latency
+        online_update_batch(
+            [(
+                q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
+                None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
+                None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
+                ok, slice(h * G, (h + 1) * G),
+            ) for h in range(Kh)],
+            m_ref, l_ref, acc_ref, compute_dtype,
+        )
 
     @pl.when(j == n_pages - 1)
     def _():
@@ -201,7 +184,9 @@ def _flash_paged_staged_kernel(
     kernel at decode shapes (the per-row work is a handful of [G, P]
     ops) and keeps R page DMAs in flight per step.
     """
-    from tinyllama_tpu.ops.pallas.softmax_update import online_update
+    from tinyllama_tpu.ops.pallas.softmax_update import (
+        online_update_batch,
+    )
 
     k_refs, v_refs = rest[:R], rest[R : 2 * R]
     sk_ref, sv_ref = rest[2 * R : 2 * R + 2]
@@ -228,36 +213,40 @@ def _flash_paged_staged_kernel(
 
     @pl.when(j < n_steps - 1)
     def _():
+        # ALL (row, head) updates of the step batched into the phased
+        # form (softmax_update.online_update_batch): runs of
+        # data-independent score/pv dots pipeline on the MXU instead of
+        # serializing 16 tiny interleaved chains. The old per-row
+        # `j * P < n_pool` compute gate folds into the ok mask (all-
+        # masked rows update m/l/acc to themselves exactly).
+        items = []
         for r in range(R):
-            # positions resident in the pool (the row's chunk base)
             n_pool = npool_ref[b * R + r]
-
-            @pl.when(j * P < n_pool)
-            def _(r=r, n_pool=n_pool):
-                key_pos = j * P + jax.lax.broadcasted_iota(
-                    jnp.int32, (G, P), 1
-                )
-                ok = key_pos < n_pool
-                for h in range(Kh):  # one page DMA, Kh heads' dots
-                    online_update(
-                        q_ref[r, h].astype(compute_dtype),
-                        k_refs[r][h], v_refs[r][h],
-                        None if ks_refs[r] is None
-                        else ks_refs[r][pl.ds(h, 1), :],
-                        None if vs_refs[r] is None
-                        else vs_refs[r][pl.ds(h, 1), :],
-                        ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
-                        m_ref, l_ref, acc_ref, compute_dtype,
-                    )
+            key_pos = j * P + jax.lax.broadcasted_iota(
+                jnp.int32, (G, P), 1
+            )
+            ok = key_pos < n_pool
+            for h in range(Kh):  # one page DMA, Kh heads' dots
+                items.append((
+                    q_ref[r, h].astype(compute_dtype),
+                    k_refs[r][h], v_refs[r][h],
+                    None if ks_refs[r] is None
+                    else ks_refs[r][pl.ds(h, 1), :],
+                    None if vs_refs[r] is None
+                    else vs_refs[r][pl.ds(h, 1), :],
+                    ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
+                ))
+        online_update_batch(items, m_ref, l_ref, acc_ref, compute_dtype)
 
     @pl.when(j == n_steps - 1)
     def _():
         Cs = sk_ref.shape[2]
         slot = jax.lax.broadcasted_iota(jnp.int32, (G, Cs), 1)
+        items = []
         for r in range(R):
             ok = slot < ntail_ref[b * R + r]
             for h in range(Kh):
-                online_update(
+                items.append((
                     q_ref[r, h].astype(compute_dtype),
                     sk_ref[r, h], sv_ref[r, h],
                     None if sks_ref is None
@@ -265,8 +254,8 @@ def _flash_paged_staged_kernel(
                     None if svs_ref is None
                     else svs_ref[r, pl.ds(h, 1), :],
                     ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
-                    m_ref, l_ref, acc_ref, compute_dtype,
-                )
+                ))
+        online_update_batch(items, m_ref, l_ref, acc_ref, compute_dtype)
         denom = l_ref[:, :1]
         denom = jnp.where(denom > 0.0, denom, 1.0)
         o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(

@@ -211,7 +211,9 @@ def _decode_heads_kernel(
     static in-kernel head loop does Kh small dots per key tile, so the
     grid is (B, S/bs): 4x fewer steps at TinyLlama's Kh=4.
     """
-    from tinyllama_tpu.ops.pallas.softmax_update import online_update
+    from tinyllama_tpu.ops.pallas.softmax_update import (
+        online_update_batch,
+    )
 
     if len(rest) == 6:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
@@ -231,14 +233,17 @@ def _decode_heads_kernel(
     def _():
         key_pos = s * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
         ok = key_pos <= pos_ref[b]
-        for h in range(Kh):
-            rows = slice(h * G, (h + 1) * G)
-            online_update(
+        # phased Kh-batch: independent score/pv dots pipeline on the
+        # MXU (softmax_update.online_update_batch)
+        online_update_batch(
+            [(
                 q_ref[h].astype(compute_dtype), k_ref[h], v_ref[h],
                 None if ks_ref is None else ks_ref[pl.ds(h, 1), :],
                 None if vs_ref is None else vs_ref[pl.ds(h, 1), :],
-                ok, rows, m_ref, l_ref, acc_ref, compute_dtype,
-            )
+                ok, slice(h * G, (h + 1) * G),
+            ) for h in range(Kh)],
+            m_ref, l_ref, acc_ref, compute_dtype,
+        )
 
     @pl.when(s == n_s - 1)
     def _():
@@ -385,7 +390,9 @@ def _flash_staged_kernel(
     every query row of a step shares one position, so masks are
     row-independent.
     """
-    from tinyllama_tpu.ops.pallas.softmax_update import online_update
+    from tinyllama_tpu.ops.pallas.softmax_update import (
+        online_update_batch,
+    )
 
     if len(rest) == 8:
         (ks_ref, vs_ref, sks_ref, svs_ref,
@@ -405,35 +412,40 @@ def _flash_staged_kernel(
 
     @pl.when(s < n_steps - 1)
     def _():
+        # phased batch (softmax_update.online_update_batch): all score
+        # dots, then the VPU state updates, then all pv dots — the
+        # interleaved per-(r, h) form serialized on each tiny dot's MXU
+        # issue latency (+16% serving throughput when the paged twin
+        # switched). The old per-row `s * bs < n_pool` compute gate
+        # folds into the ok mask exactly.
+        items = []
         for r in range(R):
             n_pool = npool_ref[b * R + r]
-
-            @pl.when(s * bs < n_pool)
-            def _(r=r, n_pool=n_pool):
-                key_pos = s * bs + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, bs), 1
-                )
-                ok = key_pos < n_pool
-                for h in range(Kh):
-                    online_update(
-                        q_ref[r, h].astype(compute_dtype),
-                        k_ref[r, h], v_ref[r, h],
-                        None if ks_ref is None
-                        else ks_ref[r, pl.ds(h, 1), :],
-                        None if vs_ref is None
-                        else vs_ref[r, pl.ds(h, 1), :],
-                        ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
-                        m_ref, l_ref, acc_ref, compute_dtype,
-                    )
+            key_pos = s * bs + jax.lax.broadcasted_iota(
+                jnp.int32, (1, bs), 1
+            )
+            ok = key_pos < n_pool
+            for h in range(Kh):
+                items.append((
+                    q_ref[r, h].astype(compute_dtype),
+                    k_ref[r, h], v_ref[r, h],
+                    None if ks_ref is None
+                    else ks_ref[r, pl.ds(h, 1), :],
+                    None if vs_ref is None
+                    else vs_ref[r, pl.ds(h, 1), :],
+                    ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
+                ))
+        online_update_batch(items, m_ref, l_ref, acc_ref, compute_dtype)
 
     @pl.when(s == n_steps - 1)
     def _():
         Cs = sk_ref.shape[2]
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, Cs), 1)
+        items = []
         for r in range(R):
             ok = slot < ntail_ref[b * R + r]
             for h in range(Kh):
-                online_update(
+                items.append((
                     q_ref[r, h].astype(compute_dtype),
                     sk_ref[r, h], sv_ref[r, h],
                     None if sks_ref is None
@@ -441,8 +453,8 @@ def _flash_staged_kernel(
                     None if svs_ref is None
                     else svs_ref[r, pl.ds(h, 1), :],
                     ok, slice((r * Kh + h) * G, (r * Kh + h + 1) * G),
-                    m_ref, l_ref, acc_ref, compute_dtype,
-                )
+                ))
+        online_update_batch(items, m_ref, l_ref, acc_ref, compute_dtype)
         denom = l_ref[:, :1]
         denom = jnp.where(denom > 0.0, denom, 1.0)
         o_ref[:] = (acc_ref[:] / denom).reshape(o_ref.shape).astype(

@@ -19,6 +19,53 @@ import jax.numpy as jnp
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def online_update_batch(items, m_ref, l_ref, acc_ref, compute_dtype):
+    """A batch of independent online_update's, restructured into three
+    phases: ALL score dots, then the VPU softmax-state updates, then
+    ALL weighted-V dots. The interleaved per-update form serializes on
+    each tiny dot's MXU issue latency (~0.27 us per [G, P] update,
+    measured as the floor of the B=32 serving attention step); phasing
+    hands the compiler runs of data-independent dots to pipeline.
+
+    items: [(q [R,d], k [BK,d], v [BK,d], ks_row, vs_row, ok, rows)] —
+    the `rows` scratch slices must be pairwise disjoint.
+    """
+    scores = []
+    for q, k, v, ks_row, vs_row, ok, rows in items:
+        d = q.shape[-1]
+        s = jax.lax.dot_general(
+            q, k.astype(compute_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (1.0 / (d ** 0.5))
+        if ks_row is not None:
+            s = s * ks_row
+        scores.append(jnp.where(ok, s, NEG_INF))
+
+    ps = []
+    for (q, k, v, ks_row, vs_row, ok, rows), s in zip(items, scores):
+        m_prev = m_ref[rows, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(ok, p, 0.0)
+        l_new = l_ref[rows, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vs_row is not None:
+            p = p * vs_row
+        R = m_new.shape[0]
+        m_ref[rows] = jnp.broadcast_to(m_new, (R, m_ref.shape[1]))
+        l_ref[rows] = jnp.broadcast_to(l_new, (R, l_ref.shape[1]))
+        ps.append((p, alpha))
+
+    for (q, k, v, ks_row, vs_row, ok, rows), (p, alpha) in zip(items, ps):
+        pv = jax.lax.dot_general(
+            p.astype(compute_dtype), v.astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[rows] = acc_ref[rows] * alpha + pv
+
+
 def online_update(
     q,  # [R, d] compute dtype
     k,  # [BK, d] storage dtype
